@@ -1,0 +1,169 @@
+"""Per-gaussian projection / culling / 2D-covariance stage of the rasterizer.
+
+Pure differentiable JAX, vectorized over all gaussians (the reference does this
+inside the CUDA forward preprocess of diff-gaussian-rasterization; math follows
+the EWA-splatting formulation of the original 3DGS kernel — projection,
+Jacobian-clamped 2D covariance with +0.3 px dilation, 3-sigma radius — consumed
+at reference: gaussiansplatting/gaussian_renderer/__init__.py:85-93).
+
+The `mean2d_offset_ndc` input reproduces the reference's screenspace-points
+gradient trick (reference: gaussian_renderer/__init__.py:26-30): it is added to
+the NDC xy before the pixel transform, so grads w.r.t. it are the NDC-space
+viewspace gradients the densification statistics consume
+(reference: GaussianIP.py:452-457, gaussian_model.py:420-422).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sh import eval_sh
+from ..ops.transforms import build_covariance
+
+
+class Projected(NamedTuple):
+    mean2d: jnp.ndarray  # [N, 2] pixel coords
+    conic: jnp.ndarray  # [N, 3] inverse 2D covariance (xx, xy, yy)
+    color: jnp.ndarray  # [N, 3]
+    opacity: jnp.ndarray  # [N]
+    depth: jnp.ndarray  # [N] view-space z
+    radius: jnp.ndarray  # [N] int32 pixel radius (0 = culled)
+    valid: jnp.ndarray  # [N] bool
+
+
+def ndc2pix(v, size):
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def project_gaussians(
+    xyz,
+    scales_act,
+    quats,
+    opacity_act,
+    features,
+    camera,
+    active_sh_degree: int,
+    scaling_modifier=1.0,
+    mean2d_offset_ndc=None,
+    override_color=None,
+    active_mask=None,
+):
+    """Project gaussians into one camera. All inputs activated ([N,...])."""
+    n = xyz.shape[0]
+    ones = jnp.ones((n, 1), xyz.dtype)
+    xyz_h = jnp.concatenate([xyz, ones], axis=1)
+
+    # row-vector transforms (matrices stored transposed)
+    p_hom = xyz_h @ camera.full_proj_t  # [N, 4]
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+    p_view = xyz_h @ camera.world_view_t[:, :3]  # [N, 3]
+    depth = p_view[:, 2]
+
+    in_front = depth > 0.2
+
+    # 3D covariance
+    cov3d = build_covariance(scales_act, quats, scaling_modifier)  # [N, 3, 3]
+
+    # 2D covariance via clamped perspective Jacobian
+    h, w = camera.height, camera.width
+    tanx, tany = camera.tan_fovx, camera.tan_fovy
+    focal_x = w / (2.0 * tanx)
+    focal_y = h / (2.0 * tany)
+    tz = p_view[:, 2]
+    limx, limy = 1.3 * tanx, 1.3 * tany
+    tx = jnp.clip(p_view[:, 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(p_view[:, 1] / tz, -limy, limy) * tz
+    zero = jnp.zeros_like(tz)
+    J = jnp.stack(
+        [
+            jnp.stack([focal_x / tz, zero, -(focal_x * tx) / (tz * tz)], -1),
+            jnp.stack([zero, focal_y / tz, -(focal_y * ty) / (tz * tz)], -1),
+        ],
+        -2,
+    )  # [N, 2, 3]
+    R_cam = camera.world_view_t[:3, :3].T  # world->cam rotation
+    M = J @ R_cam  # [N, 2, 3]
+    cov2d = M @ cov3d @ jnp.swapaxes(M, -1, -2)  # [N, 2, 2]
+    cxx = cov2d[:, 0, 0] + 0.3
+    cyy = cov2d[:, 1, 1] + 0.3
+    cxy = cov2d[:, 0, 1]
+
+    det = cxx * cyy - cxy * cxy
+    det_ok = det != 0.0
+    det_safe = jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([cyy / det_safe, -cxy / det_safe, cxx / det_safe], -1)
+
+    mid = 0.5 * (cxx + cyy)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lam1))
+
+    ndc_xy = p_proj[:, :2]
+    if mean2d_offset_ndc is not None:
+        ndc_xy = ndc_xy + mean2d_offset_ndc
+    mean2d = jnp.stack(
+        [ndc2pix(ndc_xy[:, 0], w), ndc2pix(ndc_xy[:, 1], h)], -1
+    )
+
+    valid = in_front & det_ok
+    if active_mask is not None:
+        valid = valid & active_mask
+    radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    valid = valid & (radius > 0)
+
+    # colors: SH eval toward the camera (reference clamps sh2rgb + 0.5 at 0)
+    if override_color is not None:
+        color = override_color
+    else:
+        dir_pp = xyz - camera.camera_center[None, :]
+        dir_pp = dir_pp / (jnp.linalg.norm(dir_pp, axis=-1, keepdims=True) + 1e-12)
+        # features [N, K, 3] coeff-major -> eval_sh expects [..., C, K]
+        sh = jnp.swapaxes(features, -1, -2)
+        color = jnp.maximum(eval_sh(active_sh_degree, sh, dir_pp) + 0.5, 0.0)
+
+    return Projected(
+        mean2d=mean2d,
+        conic=conic,
+        color=color,
+        opacity=opacity_act,
+        depth=depth,
+        radius=radius,
+        valid=valid,
+    )
+
+
+def tile_rect(mean2d, radius, tile: int, n_tiles_x: int, n_tiles_y: int):
+    """Integer tile rectangle per gaussian, CUDA getRect semantics:
+    min inclusive, max exclusive, clamped to the grid."""
+    r = radius.astype(jnp.float32)
+    tmin_x = jnp.clip(jnp.floor((mean2d[:, 0] - r) / tile), 0, n_tiles_x).astype(jnp.int32)
+    tmin_y = jnp.clip(jnp.floor((mean2d[:, 1] - r) / tile), 0, n_tiles_y).astype(jnp.int32)
+    tmax_x = jnp.clip(
+        jnp.floor((mean2d[:, 0] + r + tile - 1) / tile), 0, n_tiles_x
+    ).astype(jnp.int32)
+    tmax_y = jnp.clip(
+        jnp.floor((mean2d[:, 1] + r + tile - 1) / tile), 0, n_tiles_y
+    ).astype(jnp.int32)
+    return tmin_x, tmin_y, tmax_x, tmax_y
+
+
+def gaussian_power_coeffs(mean2d_local, conic, opacity):
+    """Quadratic-form coefficients of log(alpha) in local pixel coords.
+
+    power(x, y) = a0 + ax x + ay y + axx x^2 + axy x y + ayy y^2, with a0
+    absorbing log(opacity), so alpha = exp(power). Enables the MXU-matmul
+    alpha evaluation in the Pallas compositor ([G, 6] @ [6, P]).
+    """
+    mx, my = mean2d_local[..., 0], mean2d_local[..., 1]
+    A, Bc, C = conic[..., 0], conic[..., 1], conic[..., 2]
+    log_o = jnp.log(jnp.maximum(opacity, 1e-12))
+    a0 = log_o - 0.5 * (A * mx * mx + C * my * my) - Bc * mx * my
+    ax = A * mx + Bc * my
+    ay = C * my + Bc * mx
+    axx = -0.5 * A
+    axy = -Bc
+    ayy = -0.5 * C
+    return jnp.stack([a0, ax, ay, axx, axy, ayy], -1)

@@ -1,0 +1,157 @@
+"""Public splat-render API.
+
+Mirrors the capability of the reference's render wrappers (reference:
+gaussiansplatting/gaussian_renderer/__init__.py:18-193 — `render` and the
+math-identical `render_with_smaller_scale`): given a GaussianState and a batch
+of cameras, produce rgb / depth / alpha images, per-gaussian screen radii, and
+(via `mean2d_offset`) NDC-space viewspace-gradient hooks for densification
+statistics.
+
+TPU-first differences: the whole camera batch renders in one jitted, vmapped
+call (the reference loops cameras in Python, reference: GaussianIP.py:154-204);
+the compositor is the Pallas MXU kernel (composite_pallas.py) with a pure-JAX
+reference fallback for CPU/debug.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .binning import bin_instances
+from .composite_pallas import composite_tiles, tiles_to_image
+from .composite_ref import composite_reference
+from .preprocess import gaussian_power_coeffs, project_gaussians
+
+
+@struct.dataclass
+class RenderConfig:
+    tile: int = struct.field(pytree_node=False, default=16)
+    chunk: int = struct.field(pytree_node=False, default=128)
+    d_max: int = struct.field(pytree_node=False, default=16)
+    icap: int = struct.field(pytree_node=False, default=0)  # 0 = auto
+    backend: str = struct.field(pytree_node=False, default="auto")
+    interpret: bool = struct.field(pytree_node=False, default=False)
+
+
+class RenderOutput(NamedTuple):
+    rgb: jnp.ndarray  # [B, H, W, 3]
+    depth: jnp.ndarray  # [B, H, W] alpha-weighted view-z
+    alpha: jnp.ndarray  # [B, H, W]
+    radii: jnp.ndarray  # [B, N] int32
+    n_dropped: jnp.ndarray  # [B] instances lost to icap overflow (observability)
+
+
+def _resolve_backend(cfg: RenderConfig) -> str:
+    if cfg.backend != "auto":
+        return cfg.backend
+    return "pallas" if jax.default_backend() == "tpu" else "reference"
+
+
+def _auto_icap(n: int, d_max: int, chunk: int) -> int:
+    icap = min(n * d_max, max(2 * n, 1 << 21))
+    return -(-icap // chunk) * chunk
+
+
+def render(
+    gaussians,
+    cameras,
+    bg_color,
+    cfg: RenderConfig = RenderConfig(),
+    mean2d_offset: Optional[jnp.ndarray] = None,
+    scaling_modifier: float = 1.0,
+    override_color=None,
+    active_sh_degree: Optional[int] = None,
+) -> RenderOutput:
+    """Render a GaussianState into a batch of cameras.
+
+    cameras: a Camera pytree with leading batch dim B on its array leaves
+    (height/width static and shared). bg_color: [3].
+    mean2d_offset: optional [B, N, 2] zeros; its gradient is the NDC viewspace
+    gradient used by densification stats (reference: GaussianIP.py:452-457).
+    """
+    deg = gaussians.active_sh_degree if active_sh_degree is None else active_sh_degree
+    xyz = gaussians.xyz
+    n = xyz.shape[0]
+    scales = gaussians.get_scaling()
+    opac = gaussians.get_opacity()[:, 0]
+    feats = gaussians.get_features()
+    active = gaussians.active_mask()
+    b = jax.tree_util.tree_leaves(cameras)[0].shape[0]
+    if mean2d_offset is None:
+        mean2d_offset = jnp.zeros((b, n, 2), jnp.float32)
+
+    proj = jax.vmap(
+        lambda cam, off: project_gaussians(
+            xyz, scales, gaussians.rotation, opac, feats, cam, deg,
+            scaling_modifier, off, override_color, active,
+        )
+    )(cameras, mean2d_offset)
+
+    h, w = cameras.height, cameras.width
+    backend = _resolve_backend(cfg)
+    if backend == "reference":
+        rgb, depth, alpha = jax.vmap(
+            lambda m, c, col, o, z, v: composite_reference(m, c, col, o, z, v, h, w)
+        )(proj.mean2d, proj.conic, proj.color, proj.opacity * jnp.ones((b, n)),
+          proj.depth, proj.valid)
+        bgc = jnp.asarray(bg_color, jnp.float32)
+        rgb = rgb + bgc[None, None, None, :] * (1.0 - alpha[..., None])
+        return RenderOutput(rgb, depth, alpha, proj.radius,
+                            jnp.zeros((b,), jnp.int32))
+
+    tile = cfg.tile
+    ntx = -(-w // tile)
+    nty = -(-h // tile)
+    icap = cfg.icap or _auto_icap(n, cfg.d_max, cfg.chunk)
+
+    binning = jax.vmap(
+        lambda m, r, z, v: bin_instances(
+            m, r, z, v, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
+            d_max=cfg.d_max, icap=icap, chunk=cfg.chunk,
+        )
+    )(proj.mean2d, proj.radius, proj.depth, proj.valid)
+
+    gidx_safe = jnp.minimum(binning.gidx, n - 1)  # [B, IPAD]
+    take = lambda a: jnp.take_along_axis(a, gidx_safe[..., None], axis=1)
+    inst_mean2d = take(proj.mean2d)
+    inst_conic = take(proj.conic)
+    inst_color = take(proj.color)
+    inst_opac = take((proj.opacity * jnp.ones((b, n)))[..., None])[..., 0]
+    inst_z = take(proj.depth[..., None])[..., 0]
+
+    tile_safe = jnp.minimum(binning.tile_of, ntx * nty - 1)
+    origin = jnp.stack(
+        [(tile_safe % ntx) * tile, (tile_safe // ntx) * tile], axis=-1
+    ).astype(jnp.float32)
+    local = inst_mean2d - origin
+    coeff6 = gaussian_power_coeffs(local, inst_conic, inst_opac)
+    rv = binning.row_valid[..., None]
+    coeff8 = jnp.where(
+        rv,
+        jnp.concatenate([coeff6, jnp.zeros_like(coeff6[..., :2])], axis=-1),
+        0.0,
+    )
+    ones = jnp.ones_like(inst_z)
+    zeros = jnp.zeros_like(inst_z)
+    feat8 = jnp.where(
+        rv,
+        jnp.stack(
+            [inst_color[..., 0], inst_color[..., 1], inst_color[..., 2],
+             inst_z, ones, zeros, zeros, zeros], axis=-1,
+        ),
+        0.0,
+    )
+
+    out = composite_tiles(
+        coeff8, feat8, binning.starts, binning.counts, tile, cfg.chunk,
+        cfg.interpret,
+    )
+    rgb, depth, alpha = tiles_to_image(out, nty, ntx, tile, h, w)
+    bgc = jnp.asarray(bg_color, jnp.float32)
+    rgb = rgb + bgc[None, None, None, :] * (1.0 - alpha[..., None])
+    return RenderOutput(rgb, depth, alpha, proj.radius, binning.n_dropped)
