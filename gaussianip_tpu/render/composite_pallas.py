@@ -6,29 +6,37 @@ gaussiansplatting/gaussian_renderer/__init__.py:85-93). The design re-maps the
 work onto TPU compute units instead of translating the CUDA kernel:
 
   * alpha evaluation rides the MXU: log-alpha is a quadratic form in pixel
-    coords, so a [CHUNK, 8] coefficient block x [8, P] pixel-feature matrix
+    coords, so an [8, CHUNK] coefficient block x [8, P] pixel-feature matrix
     yields all CHUNK x P powers in one matmul (see
     preprocess.gaussian_power_coeffs);
   * front-to-back transmittance is a *cumulative product over instances*,
     computed in log space as a triangular-matrix matmul on the MXU
     (strict-lower-triangular ones @ log(1 - alpha)) — no sequential per-
-    instance loop and no VPU Hillis-Steele scan;
+    instance loop;
   * output accumulation (rgb, alpha-weighted depth, alpha) is another MXU
     matmul: [8, CHUNK] instance features x [CHUNK, P] weights;
   * per-tile instance segments are CHUNK-aligned and disjoint (see
     binning.py), so the backward pass writes per-instance gradients with
     no atomics and no races — the JAX-level gather transpose turns them
-    into per-gaussian gradients via XLA scatter-add.
+    into per-gaussian gradients via XLA scatter-add;
+  * instance arrays are stored transposed [B, 8, IPAD] so every DMA slice is
+    lane-aligned (Mosaic requires 128-aligned slices on the minor dim).
 
 Semantics match the CUDA kernel: alpha capped at 0.99 (gradient NOT gated at
 the cap, matching the reference kernel's backward), alpha < 1/255 skipped,
 early-stop mask T_next >= 1e-4. Background compositing happens in JAX
 (rgb + bg * (1 - alpha)).
 
-Forward also emits a per-chunk transmittance stash (log T at every chunk
-start) so the backward pass reconstructs exact transmittances without
-underflow — the divide-backward trick the CUDA kernel uses is unstable for
-long opaque segments.
+Backward needs per-instance transmittances. Instead of stashing them, the
+forward emits the per-pixel *last contributor index* in the otherwise-unused
+output row 5 (f32-exact for < 2^24 instances). Since contributions form a
+depth prefix (T is monotone), the backward reconstructs T from the stop point
+T_stop = 1 - alpha_out (which the early-stop rule keeps >= 1e-4, so the
+reconstruction never divides through an underflowed transmittance — the
+failure mode of the CUDA kernel's divide-backward trick) via a reverse
+log-space cumulative sum, again as a triangular MXU matmul.
+
+Output rows: 0-2 rgb, 3 alpha-weighted depth, 4 alpha, 5 last-contributor.
 """
 
 from __future__ import annotations
@@ -43,7 +51,6 @@ from jax.experimental.pallas import tpu as pltpu
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
-NEG_BIG = -1e30
 
 
 def _pixel_features(tile: int):
@@ -58,25 +65,33 @@ def _pixel_features(tile: int):
     return jnp.stack(rows, axis=0)
 
 
-def _tri_strict_lower(c: int):
+def _tri(c: int, strict: bool, upper: bool):
     r = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     co = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    return (co < r).astype(jnp.float32)
+    if upper:
+        m = (co > r) if strict else (co >= r)
+    else:
+        m = (co < r) if strict else (co <= r)
+    return m.astype(jnp.float32)
 
 
 def _dot(a, b, contract):
+    # HIGHEST: full-f32 MXU passes — the power quadratic form cancels large
+    # terms, so bf16 mantissas visibly corrupt alpha (q99 error ~1e-2)
     return jax.lax.dot_general(
-        a, b, (contract, ((), ())), preferred_element_type=jnp.float32
+        a, b, (contract, ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
-def _chunk_alphas(coeff_chunk, featpix, rem):
+def _chunk_alphas(coeff_chunk_t, featpix, rem):
     """Shared fwd/bwd math: (raw, alpha, log_om) for one chunk.
 
+    coeff_chunk_t is the transposed [8, C] block (lane-aligned DMA layout);
     rem = remaining live rows in this chunk (rows >= rem masked out)."""
-    c = coeff_chunk.shape[0]
+    c = coeff_chunk_t.shape[1]
     p = featpix.shape[1]
-    power = _dot(coeff_chunk, featpix, ((1,), (0,)))  # [C, P]
+    power = _dot(coeff_chunk_t, featpix, ((0,), (0,)))  # [C, P]
     raw = jnp.exp(power)
     alpha = jnp.minimum(raw, ALPHA_MAX)
     rows = jax.lax.broadcasted_iota(jnp.int32, (c, p), 0)
@@ -89,8 +104,8 @@ def _chunk_alphas(coeff_chunk, featpix, rem):
 def _fwd_kernel(
     starts_ref, counts_ref,  # scalar prefetch [B, NT]
     coeff_hbm, feat_hbm, featpix_ref,  # inputs
-    out_ref, stash_hbm,  # outputs
-    coeff_buf, feat_buf, trow_buf, sems,  # scratch
+    out_ref,  # output block (1, 1, 8, P)
+    coeff_buf, feat_buf, sems,  # scratch
     *, chunk: int, tile: int,
 ):
     b = pl.program_id(0)
@@ -101,50 +116,58 @@ def _fwd_kernel(
     p = tile * tile
 
     featpix = featpix_ref[:]
-    tri = _tri_strict_lower(chunk)
+    tri_ex = _tri(chunk, strict=True, upper=False)
 
     out_ref[0, 0] = jnp.zeros((8, p), jnp.float32)
 
-    def body(ci, log_t):
-        base = start + ci * chunk
+    def body(ci, carry):
+        log_t, last = carry
+        # starts are chunk-aligned by construction (binning.py); the hint lets
+        # Mosaic prove lane-tiling divisibility for the DMA slices
+        base = pl.multiple_of(start + ci * chunk, chunk)
         cp = pltpu.make_async_copy(
-            coeff_hbm.at[b, pl.ds(base, chunk), :], coeff_buf, sems.at[0]
+            coeff_hbm.at[b, :, pl.ds(base, chunk)], coeff_buf, sems.at[0]
         )
         fp = pltpu.make_async_copy(
-            feat_hbm.at[b, pl.ds(base, chunk), :], feat_buf, sems.at[1]
+            feat_hbm.at[b, :, pl.ds(base, chunk)], feat_buf, sems.at[1]
         )
         cp.start()
         fp.start()
-        # stash log T at chunk start (slot = base // chunk; segments are
-        # chunk-aligned so slots never collide across tiles)
-        trow_buf[:] = log_t
-        st = pltpu.make_async_copy(
-            trow_buf, stash_hbm.at[b, pl.ds(base // chunk, 1), :], sems.at[2]
-        )
-        st.start()
         cp.wait()
         fp.wait()
 
         rem = count - ci * chunk
         raw, alpha, log_om = _chunk_alphas(coeff_buf[:], featpix, rem)
         # exclusive cumulative log-transmittance via MXU triangular matmul
-        cum_ex = _dot(tri, log_om, ((1,), (0,)))  # [C, P]
+        cum_ex = _dot(tri_ex, log_om, ((1,), (0,)))  # [C, P]
         t_excl = jnp.exp(log_t + cum_ex)
         t_incl = t_excl * (1.0 - alpha)
-        w = jnp.where(t_incl >= T_EPS, alpha * t_excl, 0.0)
-        out_ref[0, 0] += _dot(feat_buf[:], w, ((0,), (0,)))
-        log_t_new = log_t + cum_ex[chunk - 1 : chunk, :] + log_om[chunk - 1 : chunk, :]
-        st.wait()
-        return log_t_new
+        contrib = (t_incl >= T_EPS) & (alpha > 0.0)
+        w = jnp.where(contrib, alpha * t_excl, 0.0)
+        out_ref[0, 0] += _dot(feat_buf[:], w, ((1,), (0,)))
 
-    jax.lax.fori_loop(0, nchunks, body, jnp.zeros((1, p), jnp.float32))
+        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, p), 0)
+        idxf = (rows + ci * chunk).astype(jnp.float32)
+        last = jnp.maximum(
+            last, jnp.max(jnp.where(contrib, idxf, -1.0), axis=0, keepdims=True)
+        )
+        log_t_new = log_t + cum_ex[chunk - 1 : chunk, :] + log_om[chunk - 1 : chunk, :]
+        return (log_t_new, last)
+
+    _, last = jax.lax.fori_loop(
+        0,
+        nchunks,
+        body,
+        (jnp.zeros((1, p), jnp.float32), jnp.full((1, p), -1.0, jnp.float32)),
+    )
+    out_ref[0, 0, 5:6, :] = last
 
 
 def _bwd_kernel(
     starts_ref, counts_ref,
-    coeff_hbm, feat_hbm, featpix_ref, stash_hbm, gout_ref,
+    coeff_hbm, feat_hbm, featpix_ref, out_ref, gout_ref,
     dcoeff_hbm, dfeat_hbm,
-    coeff_buf, feat_buf, trow_buf, dcoeff_buf, dfeat_buf, sems,
+    coeff_buf, feat_buf, dcoeff_buf, dfeat_buf, sems,
     *, chunk: int, tile: int,
 ):
     b = pl.program_id(0)
@@ -156,70 +179,74 @@ def _bwd_kernel(
 
     featpix = featpix_ref[:]
     gout = gout_ref[0, 0]  # [8, P]
-    tri = _tri_strict_lower(chunk)
-    tri_up = tri.T  # strict upper: suffix sums
+    alpha_out = out_ref[0, 0, 4:5, :]
+    last = out_ref[0, 0, 5:6, :]
+    # early-stop keeps T_stop >= 1e-4, so 1 - alpha_out is well conditioned
+    log_t_stop = jnp.log(jnp.maximum(1.0 - alpha_out, 1e-12))
+    tri_in_up = _tri(chunk, strict=False, upper=True)  # inclusive suffix sums
+    tri_ex_up = _tri(chunk, strict=True, upper=True)  # exclusive suffix sums
 
-    def body(i, r_carry):
+    def body(i, carry):
+        r_carry, log_s_carry = carry
         ci = nchunks - 1 - i
-        base = start + ci * chunk
+        base = pl.multiple_of(start + ci * chunk, chunk)
         cp = pltpu.make_async_copy(
-            coeff_hbm.at[b, pl.ds(base, chunk), :], coeff_buf, sems.at[0]
+            coeff_hbm.at[b, :, pl.ds(base, chunk)], coeff_buf, sems.at[0]
         )
         fp = pltpu.make_async_copy(
-            feat_hbm.at[b, pl.ds(base, chunk), :], feat_buf, sems.at[1]
-        )
-        sp = pltpu.make_async_copy(
-            stash_hbm.at[b, pl.ds(base // chunk, 1), :], trow_buf, sems.at[2]
+            feat_hbm.at[b, :, pl.ds(base, chunk)], feat_buf, sems.at[1]
         )
         cp.start()
         fp.start()
-        sp.start()
         cp.wait()
         fp.wait()
-        sp.wait()
 
         rem = count - ci * chunk
         raw, alpha, log_om = _chunk_alphas(coeff_buf[:], featpix, rem)
-        log_t = trow_buf[:]  # [1, P] log T at chunk start
-        cum_ex = _dot(tri, log_om, ((1,), (0,)))
-        t_excl = jnp.exp(log_t + cum_ex)
-        t_incl = t_excl * (1.0 - alpha)
-        contrib = (t_incl >= T_EPS) & (alpha > 0.0)
-        w = jnp.where(contrib, alpha * t_excl, 0.0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, p), 0)
+        idxf = (rows + ci * chunk).astype(jnp.float32)
+        contrib = (alpha > 0.0) & (idxf <= last)
+        lom = jnp.where(contrib, log_om, 0.0)
+        # T_excl_i = T_stop / prod_{j >= i, contrib} om_j  (reverse log-cumsum)
+        s_incl = _dot(tri_in_up, lom, ((1,), (0,))) + log_s_carry
+        t_excl = jnp.where(contrib, jnp.exp(log_t_stop - s_incl), 0.0)
+        w = alpha * t_excl
 
-        t1 = _dot(feat_buf[:], gout, ((1,), (0,)))  # [C, P]
+        t1 = _dot(feat_buf[:], gout, ((0,), (0,)))  # [C, P]
         t1w = t1 * w
-        r_rows = _dot(tri_up, t1w, ((1,), (0,))) + r_carry  # suffix sums
-        dalpha = jnp.where(
-            contrib, t1 * t_excl - r_rows / (1.0 - alpha), 0.0
-        )
+        r_rows = _dot(tri_ex_up, t1w, ((1,), (0,))) + r_carry  # suffix sums
+        dalpha = jnp.where(contrib, t1 * t_excl - r_rows / (1.0 - alpha), 0.0)
         # gradient NOT gated at the 0.99 cap (parity with the CUDA backward)
-        dpower = dalpha * raw
-        dpower = jnp.where(contrib, dpower, 0.0)
+        dpower = jnp.where(contrib, dalpha * raw, 0.0)
 
-        dcoeff_buf[:] = _dot(dpower, featpix, ((1,), (1,)))  # [C, 8]
-        dfeat_buf[:] = _dot(w, gout, ((1,), (1,)))  # [C, 8]
+        dcoeff_buf[:] = _dot(featpix, dpower, ((1,), (1,)))  # [8, C]
+        dfeat_buf[:] = _dot(gout, w, ((1,), (1,)))  # [8, C]
         dc = pltpu.make_async_copy(
-            dcoeff_buf, dcoeff_hbm.at[b, pl.ds(base, chunk), :], sems.at[0]
+            dcoeff_buf, dcoeff_hbm.at[b, :, pl.ds(base, chunk)], sems.at[0]
         )
         df = pltpu.make_async_copy(
-            dfeat_buf, dfeat_hbm.at[b, pl.ds(base, chunk), :], sems.at[1]
+            dfeat_buf, dfeat_hbm.at[b, :, pl.ds(base, chunk)], sems.at[1]
         )
         dc.start()
         df.start()
         r_carry_new = r_rows[0:1, :] + t1w[0:1, :]
+        log_s_carry_new = s_incl[0:1, :]
         dc.wait()
         df.wait()
-        return r_carry_new
+        return (r_carry_new, log_s_carry_new)
 
-    jax.lax.fori_loop(0, nchunks, body, jnp.zeros((1, p), jnp.float32))
+    jax.lax.fori_loop(
+        0,
+        nchunks,
+        body,
+        (jnp.zeros((1, p), jnp.float32), jnp.zeros((1, p), jnp.float32)),
+    )
 
 
 def _fwd_call(coeff, feat, starts, counts, tile, chunk, interpret):
-    b, ipad, _ = coeff.shape
+    b, _, ipad = coeff.shape
     nt = starts.shape[1]
     p = tile * tile
-    scap = ipad // chunk
     featpix = _pixel_features(tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -230,32 +257,25 @@ def _fwd_call(coeff, feat, starts, counts, tile, chunk, interpret):
             pl.BlockSpec((8, p), lambda bb, tt, sb, st: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, 8, p), lambda bb, tt, sb, st: (bb, tt, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        out_specs=pl.BlockSpec((1, 1, 8, p), lambda bb, tt, sb, st: (bb, tt, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((chunk, 8), jnp.float32),
-            pltpu.VMEM((chunk, 8), jnp.float32),
-            pltpu.VMEM((1, p), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((8, chunk), jnp.float32),
+            pltpu.VMEM((8, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out, stash = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, chunk=chunk, tile=tile),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, nt, 8, p), jnp.float32),
-            jax.ShapeDtypeStruct((b, scap, p), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, nt, 8, p), jnp.float32),
         interpret=interpret,
     )(starts, counts, coeff, feat, featpix)
-    return out, stash
+    return out
 
 
-def _bwd_call(coeff, feat, starts, counts, stash, gout, tile, chunk, interpret):
-    b, ipad, _ = coeff.shape
+def _bwd_call(coeff, feat, starts, counts, out, gout, tile, chunk, interpret):
+    b, _, ipad = coeff.shape
     nt = starts.shape[1]
     p = tile * tile
     featpix = _pixel_features(tile)
@@ -267,7 +287,8 @@ def _bwd_call(coeff, feat, starts, counts, stash, gout, tile, chunk, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, p), lambda bb, tt, sb, st: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, 8, p), lambda bb, tt, sb, st: (bb, tt, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, p), lambda bb, tt, sb, st: (bb, tt, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -276,23 +297,22 @@ def _bwd_call(coeff, feat, starts, counts, stash, gout, tile, chunk, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((chunk, 8), jnp.float32),
-            pltpu.VMEM((chunk, 8), jnp.float32),
-            pltpu.VMEM((1, p), jnp.float32),
-            pltpu.VMEM((chunk, 8), jnp.float32),
-            pltpu.VMEM((chunk, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((8, chunk), jnp.float32),
+            pltpu.VMEM((8, chunk), jnp.float32),
+            pltpu.VMEM((8, chunk), jnp.float32),
+            pltpu.VMEM((8, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dcoeff, dfeat = pl.pallas_call(
         functools.partial(_bwd_kernel, chunk=chunk, tile=tile),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, ipad, 8), jnp.float32),
-            jax.ShapeDtypeStruct((b, ipad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, ipad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, ipad), jnp.float32),
         ],
         interpret=interpret,
-    )(starts, counts, coeff, feat, featpix, stash, gout)
+    )(starts, counts, coeff, feat, featpix, out, gout)
     return dcoeff, dfeat
 
 
@@ -302,26 +322,26 @@ def composite_tiles(coeff, feat, starts, counts, tile: int, chunk: int,
     """Composite CHUNK-aligned instance segments into per-tile accumulators.
 
     Args:
-      coeff: [B, IPAD, 8] power coefficients (gaussian_power_coeffs + 2 pad).
-      feat:  [B, IPAD, 8] instance features [r, g, b, depth, 1, 0, 0, 0].
+      coeff: [B, 8, IPAD] transposed power coefficients
+        (gaussian_power_coeffs + 2 pad rows; lane-aligned DMA layout).
+      feat:  [B, 8, IPAD] transposed instance features [r, g, b, depth, 1, 0..].
       starts/counts: [B, NT] int32 segment layout from binning.
     Returns:
       [B, NT, 8, P] accumulators: rows 0-2 rgb, 3 alpha-weighted depth,
-      4 accumulated alpha.
+      4 accumulated alpha, 5 last-contributor index (internal).
     """
-    out, _ = _fwd_call(coeff, feat, starts, counts, tile, chunk, interpret)
-    return out
+    return _fwd_call(coeff, feat, starts, counts, tile, chunk, interpret)
 
 
 def _composite_fwd(coeff, feat, starts, counts, tile, chunk, interpret):
-    out, stash = _fwd_call(coeff, feat, starts, counts, tile, chunk, interpret)
-    return out, (coeff, feat, starts, counts, stash)
+    out = _fwd_call(coeff, feat, starts, counts, tile, chunk, interpret)
+    return out, (coeff, feat, starts, counts, out)
 
 
 def _composite_bwd(tile, chunk, interpret, res, gout):
-    coeff, feat, starts, counts, stash = res
+    coeff, feat, starts, counts, out = res
     dcoeff, dfeat = _bwd_call(
-        coeff, feat, starts, counts, stash, gout, tile, chunk, interpret
+        coeff, feat, starts, counts, out, gout, tile, chunk, interpret
     )
     return dcoeff, dfeat, None, None
 

@@ -147,9 +147,10 @@ def render(
         0.0,
     )
 
+    # transposed [B, 8, IPAD] layout -> lane-aligned DMA slices in the kernel
     out = composite_tiles(
-        coeff8, feat8, binning.starts, binning.counts, tile, cfg.chunk,
-        cfg.interpret,
+        jnp.swapaxes(coeff8, 1, 2), jnp.swapaxes(feat8, 1, 2),
+        binning.starts, binning.counts, tile, cfg.chunk, cfg.interpret,
     )
     rgb, depth, alpha = tiles_to_image(out, nty, ntx, tile, h, w)
     bgc = jnp.asarray(bg_color, jnp.float32)
