@@ -1,0 +1,119 @@
+"""Benchmark: differentiable splat rendering on real TPU hardware.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Headline metric (BASELINE.md tracked set): 1024^2 splat renders/sec
+forward+backward at 100k gaussians (the stage-1 hot kernel; the reference's
+CUDA diff-gaussian-rasterization does this per camera per training step).
+vs_baseline uses 100 fwd+bwd FPS as the reference estimate for the CUDA
+rasterizer at this workload on the reference's V100/3090 class hardware
+(the reference publishes no kernel-level number — only the ~40 min full
+pipeline, README.md:104; 100 FPS is a conservative literature estimate).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianip_tpu.data.cameras import camera_from_c2w
+    from gaussianip_tpu.model.gaussians import create_from_pcd
+    from gaussianip_tpu.ops.camera_math import look_at_c2w
+    from gaussianip_tpu.ops.knn import mean_dist2_3nn
+    from gaussianip_tpu.render.render import RenderConfig, render
+
+    rng = np.random.default_rng(0)
+    n = 100_000
+    res = 1024
+    batch = 1
+
+    # human-ish scene: points on a capsule, mildly opaque
+    z = rng.uniform(-0.85, 0.85, n)
+    th = rng.uniform(0, 2 * np.pi, n)
+    r = 0.25 * np.sqrt(np.maximum(0.0, 1 - (z / 0.9) ** 2)) + 0.03
+    pts = np.stack([r * np.cos(th), r * np.sin(th), z], 1).astype(np.float32)
+    pts += rng.normal(0, 0.01, pts.shape).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    d2 = mean_dist2_3nn(jnp.asarray(pts), block=4096)
+    state = create_from_pcd(pts, cols, n, d2)
+    state = state.replace(
+        opacity=jnp.asarray(rng.uniform(-1.0, 2.5, (n, 1)).astype(np.float32))
+    )
+
+    az = jnp.linspace(0, 2 * jnp.pi, batch, endpoint=False)
+    eye = jnp.stack(
+        [1.8 * jnp.cos(az), 1.8 * jnp.sin(az), jnp.full((batch,), 0.2)], -1
+    )
+    c2w = look_at_c2w(eye, jnp.zeros((batch, 3)),
+                      jnp.tile(jnp.array([[0.0, 0, 1]]), (batch, 1)))
+    cams = jax.vmap(lambda m: camera_from_c2w(m, jnp.float32(1.0), res, res))(c2w)
+    bg = jnp.zeros(3)
+    cfg = RenderConfig(backend="pallas", tile=16, chunk=128, d_max=16)
+
+    # The axon tunnel makes per-call host timing unreliable (~25 ms RPC
+    # latency, async completion): iterate INSIDE one jit via lax.scan and
+    # read back a scalar, subtracting the fixed RPC overhead measured with a
+    # trivial program.
+    K = 3
+
+    def loss(st, off):
+        out = render(st, cams, bg, cfg, mean2d_offset=off)
+        return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha) + jnp.sum(out.depth)
+
+    @jax.jit
+    def fwd_k(state):
+        # unrolled chain: carry feeds the next iteration so XLA cannot CSE
+        carry = jnp.float32(0.0)
+        for _ in range(K):
+            st = state.replace(opacity=state.opacity + carry * 1e-12)
+            out = render(st, cams, bg, cfg)
+            carry = jnp.sum(out.rgb)
+        return carry
+
+    @jax.jit
+    def fwdbwd_k(state):
+        carry = jnp.float32(0.0)
+        off = jnp.zeros((batch, n, 2))
+        for _ in range(K):
+            st = state.replace(opacity=state.opacity + carry * 1e-12)
+            g = jax.grad(loss, argnums=(0, 1), allow_int=True)(st, off)
+            carry = jnp.sum(g[1]) + jnp.sum(g[0].xyz)
+        return carry
+
+    @jax.jit
+    def trivial(state):
+        return jnp.sum(state.opacity)
+
+    def timeit(f, *args, reps=3):
+        float(f(*args))  # compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            float(f(*args))
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    t_rpc = timeit(trivial, state)
+    t_fwd = max(timeit(fwd_k, state) - t_rpc, 1e-9) / K
+    t_fb = max(timeit(fwdbwd_k, state) - t_rpc, 1e-9) / K
+
+    fps_fb = batch / t_fb
+    baseline_fps = 100.0
+    print(json.dumps({
+        "metric": "splat_render_fwd_bwd_1024px_100k",
+        "value": round(fps_fb, 2),
+        "unit": "renders/s",
+        "vs_baseline": round(fps_fb / baseline_fps, 3),
+        "fwd_ms": round(t_fwd * 1000 / batch, 2),
+        "fwd_bwd_ms": round(t_fb * 1000 / batch, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

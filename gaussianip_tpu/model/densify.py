@@ -51,8 +51,12 @@ class DensifyStats:
 
 
 def init_stats(capacity: int) -> DensifyStats:
-    z = jnp.zeros((capacity,), jnp.float32)
-    return DensifyStats(xyz_grad_accum=z, denom=z, max_radii2d=z)
+    # three distinct buffers: aliased leaves break jit donation
+    return DensifyStats(
+        xyz_grad_accum=jnp.zeros((capacity,), jnp.float32),
+        denom=jnp.zeros((capacity,), jnp.float32),
+        max_radii2d=jnp.zeros((capacity,), jnp.float32),
+    )
 
 
 def add_stats(stats: DensifyStats, viewspace_grad, radii, visibility):
