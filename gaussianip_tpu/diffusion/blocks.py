@@ -1,0 +1,293 @@
+"""Building blocks for the SD1.5-class UNet / ControlNet in Flax (NHWC).
+
+From-scratch TPU-native implementation of the architecture the reference
+drives through diffusers (reference: threestudio/models/guidance/
+ipa_guidance.py:137-233, models/pipeline_ipa_controlnet.py). Three attention
+extensions are folded in *functionally* instead of diffusers' mutable
+"attention processor" objects:
+
+  * LoRA adapters on q/k/v/out (the IP-Adapter-FaceID installs rank-128 LoRA,
+    reference: ip_adapter/ip_adapter_faceid.py:286-329) — parameters exist
+    only when `lora_rank > 0`;
+  * IP-Adapter decomposed cross-attention: the last `ip_tokens` of the
+    encoder states attend through separate to_k_ip/to_v_ip projections and
+    are added with a scale (reference: ip_adapter/attention_processor_faceid.py
+    LoRAIPAttnProcessor2_0, :406-523);
+  * VCR mutual attention on selected self-attention layers: anchors store
+    their (pre-projection) hidden states, key views attend over
+    concat(self, anchor), dense views blend self-attention with attention
+    into two key views (reference: attention_processor_faceid.py:211-364),
+    threaded through the call as an explicit cache pytree instead of
+    processor mutable state.
+
+All convs/norms run in NHWC; attention sequence layout is [B, S, D].
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def timestep_embedding(t, dim: int, max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0):
+    """Sinusoidal timestep embedding, diffusers convention for SD1.5."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * t[:, None].astype(jnp.float32)
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    if flip_sin_to_cos:
+        return jnp.concatenate([cos, sin], axis=-1)
+    return jnp.concatenate([sin, cos], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, emb):
+        emb = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(emb)
+        return emb
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype,
+                         name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+            nn.silu(temb)
+        )
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype,
+                         name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class LoRADense(nn.Module):
+    """Dense with optional LoRA adapter: y = W x + scale * B(A(x))."""
+    features: int
+    lora_rank: int = 0
+    lora_scale: float = 1.0
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                     name="main")(x)
+        if self.lora_rank > 0:
+            a = nn.Dense(self.lora_rank, use_bias=False, dtype=self.dtype,
+                         name="lora_down")(x)
+            b = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                         kernel_init=nn.initializers.zeros, name="lora_up")(a)
+            y = y + self.lora_scale * b
+        return y
+
+
+def _attend(q, k, v, heads: int):
+    """[B, S, D] multi-head SDPA (jax.nn expects [B, S, H, Dh])."""
+    b, sq, d = q.shape
+    sk = k.shape[1]
+    hd = d // heads
+    o = jax.nn.dot_product_attention(
+        q.reshape(b, sq, heads, hd),
+        k.reshape(b, sk, heads, hd),
+        v.reshape(b, sk, heads, hd),
+    )
+    return o.reshape(b, sq, d)
+
+
+class Attention(nn.Module):
+    """Self- or cross-attention with LoRA, IP-Adapter tokens, and VCR modes.
+
+    vcr op (self-attention layers only): a dict
+      {"mode": one of "off"|"store"|"key"|"dense" (STATIC),
+       "src": [B, S, D] anchor hidden states (key mode),
+       "src_l"/"src_r": [B, S, D] (dense mode),
+       "w_l"/"w_r": scalars, "lambda_self": scalar}
+    Returns (out, stored) where stored is the hidden states to cache
+    ("store" mode) or None.
+    """
+    query_dim: int
+    heads: int
+    cross_attention_dim: Optional[int] = None
+    lora_rank: int = 0
+    ip_tokens: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, encoder_hidden_states=None, ip_scale=1.0,
+                 vcr=None):
+        d = self.query_dim
+        to_q = LoRADense(d, self.lora_rank, use_bias=False, dtype=self.dtype,
+                         name="to_q")
+        to_k = LoRADense(d, self.lora_rank, use_bias=False, dtype=self.dtype,
+                         name="to_k")
+        to_v = LoRADense(d, self.lora_rank, use_bias=False, dtype=self.dtype,
+                         name="to_v")
+        to_out = LoRADense(d, self.lora_rank, use_bias=True, dtype=self.dtype,
+                           name="to_out")
+
+        q = to_q(hidden_states)
+        stored = None
+        is_cross = encoder_hidden_states is not None
+
+        if is_cross and self.ip_tokens > 0:
+            txt = encoder_hidden_states[:, : -self.ip_tokens]
+            ip = encoder_hidden_states[:, -self.ip_tokens :]
+            k = to_k(txt)
+            v = to_v(txt)
+            out = _attend(q, k, v, self.heads)
+            k_ip = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k_ip")(ip)
+            v_ip = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v_ip")(ip)
+            out = out + ip_scale * _attend(q, k_ip, v_ip, self.heads)
+        elif is_cross:
+            out = _attend(q, to_k(encoder_hidden_states),
+                          to_v(encoder_hidden_states), self.heads)
+        else:
+            mode = "off" if vcr is None else vcr["mode"]
+            if mode == "store":
+                stored = hidden_states
+                out = _attend(q, to_k(hidden_states), to_v(hidden_states),
+                              self.heads)
+            elif mode == "key":
+                kv_src = jnp.concatenate([hidden_states, vcr["src"]], axis=1)
+                out = _attend(q, to_k(kv_src), to_v(kv_src), self.heads)
+            elif mode == "dense":
+                out_self = _attend(q, to_k(hidden_states), to_v(hidden_states),
+                                   self.heads)
+                out_l = _attend(q, to_k(vcr["src_l"]), to_v(vcr["src_l"]),
+                                self.heads)
+                out_r = _attend(q, to_k(vcr["src_r"]), to_v(vcr["src_r"]),
+                                self.heads)
+                lam = vcr["lambda_self"]
+                out = lam * out_self + (1.0 - lam) * (
+                    vcr["w_l"] * out_l + vcr["w_r"] * out_r
+                )
+            else:
+                out = _attend(q, to_k(hidden_states), to_v(hidden_states),
+                              self.heads)
+        return to_out(out), stored
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="geglu_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(h)
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    cross_attention_dim: int
+    lora_rank: int = 0
+    ip_tokens: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, ip_scale=1.0, vcr=None):
+        h, stored = Attention(
+            self.dim, self.heads, lora_rank=self.lora_rank, dtype=self.dtype,
+            name="attn1",
+        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), vcr=vcr)
+        x = x + h
+        h, _ = Attention(
+            self.dim, self.heads, cross_attention_dim=self.cross_attention_dim,
+            lora_rank=self.lora_rank, ip_tokens=self.ip_tokens, dtype=self.dtype,
+            name="attn2",
+        )(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x),
+            encoder_hidden_states=context, ip_scale=ip_scale,
+        )
+        x = x + h
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        )
+        return x, stored
+
+
+class Transformer2D(nn.Module):
+    """GroupNorm -> 1x1 conv in -> transformer block(s) -> 1x1 conv out,
+    residual (diffusers Transformer2DModel, use_linear_projection=False)."""
+    channels: int
+    heads: int
+    cross_attention_dim: int
+    n_blocks: int = 1
+    lora_rank: int = 0
+    ip_tokens: int = 0
+    groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, ip_scale=1.0, vcr=None):
+        b, h, w, c = x.shape
+        residual = x
+        y = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype,
+                         name="norm")(x)
+        y = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(y)
+        y = y.reshape(b, h * w, c)
+        stored = None
+        for i in range(self.n_blocks):
+            y, s = TransformerBlock(
+                self.channels, self.heads, self.cross_attention_dim,
+                lora_rank=self.lora_rank, ip_tokens=self.ip_tokens,
+                dtype=self.dtype, name=f"block_{i}",
+            )(y, context, ip_scale=ip_scale, vcr=vcr if i == 0 else None)
+            if i == 0:
+                stored = s
+        y = y.reshape(b, h, w, c)
+        y = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_out")(y)
+        return y + residual, stored
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.channels, (3, 3), strides=2, padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)

@@ -8,15 +8,18 @@ gaussiansplatting/gaussian_renderer/__init__.py:85-93). Differences by design:
     (its tile rect, row-major, truncated — footprints beyond D_MAX tiles are
     clipped, which only affects gaussians larger than the reference's own
     screen-size prune threshold);
-  * one single-key stable sort: key = tile_id << rank_bits | depth_rank, where
-    depth_rank comes from one cheap N-element argsort — so instances land
-    grouped by tile and depth-ordered within each tile;
-  * segments are scattered into a CHUNK-aligned layout so the Pallas
-    compositor's DMAs are aligned and forward/backward chunk windows of
-    different tiles never overlap (race-free backward writes).
+  * one single-key stable sort: key = tile_id << rank_bits | depth_rank,
+    where depth_rank comes from one cheap N-element argsort — instances land
+    grouped by tile, depth-ordered within each tile, and invalid slots
+    (sentinel keys) sink to the tail, so *compaction falls out of the sort*
+    (a slice), with no scatter;
+  * segments are then scattered once into a CHUNK-aligned layout so the
+    Pallas compositor's DMAs are lane-aligned and forward/backward chunk
+    windows of different tiles never overlap (race-free backward writes).
 
 Everything here is integer index work and runs under stop_gradient; the
-differentiable attribute gather happens in render.py.
+differentiable attribute gather happens in render.py (one wide packed gather
+— TPU gathers amortize over row width, not row count).
 """
 
 from __future__ import annotations
@@ -33,7 +36,6 @@ from .preprocess import tile_rect
 class Binning(NamedTuple):
     gidx: jnp.ndarray  # [IPAD] gaussian index per instance row (N = invalid)
     tile_of: jnp.ndarray  # [IPAD] tile id per row (NT = invalid)
-    row_valid: jnp.ndarray  # [IPAD] bool
     starts: jnp.ndarray  # [NT] CHUNK-aligned segment starts
     counts: jnp.ndarray  # [NT] live instance counts per tile
     n_dropped: jnp.ndarray  # int32: instances lost to icap overflow
@@ -60,12 +62,15 @@ def bin_instances(
     nt = n_tiles_x * n_tiles_y
     rank_bits = max(1, (n - 1).bit_length())
     assert (nt + 1) < (1 << (31 - rank_bits)), "tile/rank bits exceed int32"
+    assert icap % chunk == 0, "icap must be a multiple of chunk"
     sentinel_key = jnp.int32(nt << rank_bits)
 
     mean2d = jax.lax.stop_gradient(mean2d)
     depth = jax.lax.stop_gradient(depth)
 
-    tmin_x, tmin_y, tmax_x, tmax_y = tile_rect(mean2d, radius, tile, n_tiles_x, n_tiles_y)
+    tmin_x, tmin_y, tmax_x, tmax_y = tile_rect(
+        mean2d, radius, tile, n_tiles_x, n_tiles_y
+    )
     w = tmax_x - tmin_x
     h = tmax_y - tmin_y
     count = jnp.where(valid, w * h, 0)
@@ -82,52 +87,45 @@ def bin_instances(
     tile_id = (tmin_y[:, None] + dy) * n_tiles_x + (tmin_x[:, None] + dx)  # [N, D]
     inst_ok = d[None, :] < count[:, None]
     key = jnp.where(
-        inst_ok,
-        (tile_id << rank_bits) | rank[:, None],
-        sentinel_key,
+        inst_ok, (tile_id << rank_bits) | rank[:, None], sentinel_key
     ).reshape(-1)
     gidx = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, d_max)
     ).reshape(-1)
 
-    # compact valid instances into [icap] (overflow dropped, counted)
-    flat_ok = inst_ok.reshape(-1)
-    pos = jnp.cumsum(flat_ok.astype(jnp.int32)) - 1
-    n_live = jnp.maximum(pos[-1] + 1, 0)
-    dest = jnp.where(flat_ok & (pos < icap), pos, icap)
-    keys_c = jnp.full((icap,), sentinel_key, jnp.int32).at[dest].set(key, mode="drop")
-    gidx_c = jnp.full((icap,), n, jnp.int32).at[dest].set(gidx, mode="drop")
-
-    keys_s, gidx_s = jax.lax.sort((keys_c, gidx_c), num_keys=1)
-    tile_sorted = (keys_s >> rank_bits).astype(jnp.int32)
+    # sort-compaction: one stable sort; live instances form the prefix
+    keys_s, gidx_s = jax.lax.sort((key, gidx), num_keys=1)
+    n_live = jnp.sum(inst_ok.astype(jnp.int32))
+    keys_c = keys_s[:icap]
+    gidx_c = gidx_s[:icap]
+    tile_sorted = (keys_c >> rank_bits).astype(jnp.int32)
 
     tile_ids = jnp.arange(nt, dtype=jnp.int32)
     seg_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
-    seg_end = jnp.searchsorted(tile_sorted, tile_ids + 1, side="left").astype(jnp.int32)
+    seg_end = jnp.searchsorted(tile_sorted, tile_ids + 1, side="left").astype(
+        jnp.int32
+    )
     counts = seg_end - seg_start
 
-    # CHUNK-aligned re-layout
+    # CHUNK-aligned re-layout (one int scatter pair)
     aligned_sizes = ((counts + chunk - 1) // chunk) * chunk
     aligned_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_sizes)[:-1].astype(jnp.int32)]
     )
     ipad = icap + nt * chunk
-    within = jnp.arange(icap, dtype=jnp.int32) - seg_start[
-        jnp.minimum(tile_sorted, nt - 1)
-    ]
     live_row = tile_sorted < nt
-    new_pos = jnp.where(
-        live_row, aligned_starts[jnp.minimum(tile_sorted, nt - 1)] + within, ipad
+    t_clip = jnp.minimum(tile_sorted, nt - 1)
+    within = jnp.arange(icap, dtype=jnp.int32) - seg_start[t_clip]
+    new_pos = jnp.where(live_row, aligned_starts[t_clip] + within, ipad)
+    gidx_a = jnp.full((ipad,), n, jnp.int32).at[new_pos].set(gidx_c, mode="drop")
+    tile_a = jnp.full((ipad,), nt, jnp.int32).at[new_pos].set(
+        tile_sorted, mode="drop"
     )
-    gidx_a = jnp.full((ipad,), n, jnp.int32).at[new_pos].set(gidx_s, mode="drop")
-    tile_a = jnp.full((ipad,), nt, jnp.int32).at[new_pos].set(tile_sorted, mode="drop")
-    row_valid = jnp.zeros((ipad,), bool).at[new_pos].set(live_row, mode="drop")
 
     return Binning(
         gidx=gidx_a,
         tile_of=tile_a,
-        row_valid=row_valid,
         starts=aligned_starts,
         counts=counts,
-        n_dropped=(n_live - jnp.minimum(n_live, icap)).astype(jnp.int32),
+        n_dropped=jnp.maximum(n_live - icap, 0).astype(jnp.int32),
     )

@@ -1,0 +1,108 @@
+"""Shape/behavior tests for the Flax diffusion stack on tiny random configs
+(weight-conversion fidelity is validated separately once checkpoints exist)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussianip_tpu.diffusion.unet import (
+    ControlNetModel,
+    UNet2DConditionModel,
+    tiny_unet_config,
+)
+from gaussianip_tpu.diffusion.vae import AutoencoderKL, tiny_vae_config
+
+
+@pytest.fixture(scope="module")
+def unet_setup():
+    cfg = tiny_unet_config()
+    model = UNet2DConditionModel(cfg)
+    x = jnp.zeros((2, 16, 16, 4))
+    t = jnp.array([10, 500])
+    ctx = jnp.zeros((2, 7, 32))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    return cfg, model, params, x, t, ctx
+
+
+def test_unet_shapes(unet_setup):
+    cfg, model, params, x, t, ctx = unet_setup
+    out, cache = model.apply(params, x, t, ctx)
+    assert out.shape == (2, 16, 16, 4)
+    assert cache is None
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_vcr_store_key_dense(unet_setup):
+    cfg, model, params, x, t, ctx = unet_setup
+    out0, cache = model.apply(params, x, t, ctx, vcr_mode="store")
+    assert len(cache) == cfg.n_vcr_layers == 2
+    # store mode must not change the output (pure recording)
+    out_off, _ = model.apply(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out_off), atol=1e-5)
+
+    out_key, none = model.apply(params, x, t, ctx, vcr_mode="key",
+                                vcr_cache=cache)
+    assert none is None
+    # attending over concat(self, anchor) changes the output
+    assert float(jnp.abs(out_key - out0).max()) > 1e-6
+
+    w = {"w_l": 0.75, "w_r": 0.25, "lambda_self": 0.55}
+    out_dense, _ = model.apply(params, x, t, ctx, vcr_mode="dense",
+                               vcr_cache=(cache, cache), vcr_weights=w)
+    assert np.isfinite(np.asarray(out_dense)).all()
+    # lambda_self = 1 reduces dense mode to plain self-attention
+    w1 = {"w_l": 0.75, "w_r": 0.25, "lambda_self": 1.0}
+    out_dense1, _ = model.apply(params, x, t, ctx, vcr_mode="dense",
+                                vcr_cache=(cache, cache), vcr_weights=w1)
+    np.testing.assert_allclose(np.asarray(out_dense1), np.asarray(out0),
+                               atol=1e-5)
+
+
+def test_unet_ip_tokens_and_lora():
+    cfg = tiny_unet_config(ip_tokens=4, lora_rank=4)
+    model = UNet2DConditionModel(cfg)
+    x = jnp.zeros((1, 8, 8, 4))
+    t = jnp.array([3])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 7 + 4, 32))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    out0, _ = model.apply(params, x, t, ctx, ip_scale=0.0)
+    out1, _ = model.apply(params, x, t, ctx, ip_scale=1.0)
+    # random to_k_ip/to_v_ip: scale must modulate the output
+    assert float(jnp.abs(out1 - out0).max()) > 1e-7
+    # lora_up is zero-init: LoRA contributes nothing at init
+    names = jax.tree_util.tree_leaves_with_path(params)
+    has_lora = any("lora_up" in "/".join(str(p) for p in path)
+                   for path, _ in names)
+    assert has_lora
+
+
+def test_controlnet_zero_init_residuals(unet_setup):
+    cfg, unet, uparams, x, t, ctx = unet_setup
+    cn = ControlNetModel(cfg)
+    cond = jnp.ones((2, 128, 128, 3))
+    cparams = cn.init(jax.random.PRNGKey(2), x, t, ctx, cond)
+    down_res, mid = cn.apply(cparams, x, t, ctx, cond)
+    # zero-init output convs: residuals are exactly zero at init
+    for r in down_res:
+        assert float(jnp.abs(r).max()) == 0.0
+    assert float(jnp.abs(mid).max()) == 0.0
+    # plumbing into the unet works (and is a no-op with zero residuals)
+    out, _ = unet.apply(uparams, x, t, ctx, down_block_residuals=down_res,
+                        mid_block_residual=mid)
+    out_ref, _ = unet.apply(uparams, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=1e-6)
+
+
+def test_vae_roundtrip_shapes(rng):
+    cfg = tiny_vae_config()
+    vae = AutoencoderKL(cfg)
+    img = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    params = vae.init(jax.random.PRNGKey(0), img)
+    z = vae.apply(params, img, method=vae.encode)
+    assert z.shape == (1, 16, 16, 4)  # 2 blocks -> 2x downsample
+    dec = vae.apply(params, z, method=vae.decode)
+    assert dec.shape == (1, 32, 32, 3)
+    # sampling with a key gives a different latent than the mean
+    z2 = vae.apply(params, img, jax.random.PRNGKey(1), method=vae.encode)
+    assert float(jnp.abs(z2 - z).max()) > 0
