@@ -174,6 +174,10 @@ class Attention(nn.Module):
                 out = _attend(q, to_k(hidden_states), to_v(hidden_states),
                               self.heads)
             elif mode == "key":
+                # key views BOTH store (dense views consume them) and attend
+                # over concat(self, anchor) (reference:
+                # attention_processor_faceid.py:292-312)
+                stored = hidden_states
                 kv_src = jnp.concatenate([hidden_states, vcr["src"]], axis=1)
                 out = _attend(q, to_k(kv_src), to_v(kv_src), self.heads)
             elif mode == "dense":

@@ -50,9 +50,12 @@ def add_noise(sched: DDIMSchedule, sample, noise, t):
 def ddim_step(sched: DDIMSchedule, model_output, t, prev_t, sample, eta: float = 0.0):
     """Deterministic DDIM update x_t -> x_{t_prev} (eta=0, no thresholding,
     epsilon prediction — the reference pipeline's configuration)."""
-    a_t = sched.alphas_cumprod[t]
-    a_prev = jnp.where(prev_t >= 0, sched.alphas_cumprod[jnp.maximum(prev_t, 0)],
-                       sched.final_alpha_cumprod)
+    shape = (-1,) + (1,) * (sample.ndim - 1)
+    a_t = sched.alphas_cumprod[t].reshape(shape)
+    a_prev = jnp.where(
+        prev_t >= 0, sched.alphas_cumprod[jnp.maximum(prev_t, 0)],
+        sched.final_alpha_cumprod,
+    ).reshape(shape)
     pred_x0 = (sample - jnp.sqrt(1.0 - a_t) * model_output) / jnp.sqrt(a_t)
     dir_xt = jnp.sqrt(1.0 - a_prev) * model_output
     return jnp.sqrt(a_prev) * pred_x0 + dir_xt

@@ -159,7 +159,7 @@ class UNet2DConditionModel(nn.Module):
                         groups=cfg.norm_groups, dtype=cfg.dtype,
                         name=f"up_{bi}_attn_{li}",
                     )(h, encoder_hidden_states, ip_scale=ip_scale, vcr=vcr)
-                    if vcr_mode == "store":
+                    if vcr_mode in ("store", "key"):
                         new_cache.append(stored)
                     vcr_idx += 1
             if bi < n_down - 1:
@@ -170,7 +170,7 @@ class UNet2DConditionModel(nn.Module):
         h = nn.silu(h)
         out = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
                       name="conv_out")(h)
-        if vcr_mode == "store":
+        if vcr_mode in ("store", "key"):
             return out, new_cache
         return out, None
 

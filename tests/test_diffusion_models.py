@@ -41,9 +41,9 @@ def test_unet_vcr_store_key_dense(unet_setup):
     out_off, _ = model.apply(params, x, t, ctx)
     np.testing.assert_allclose(np.asarray(out0), np.asarray(out_off), atol=1e-5)
 
-    out_key, none = model.apply(params, x, t, ctx, vcr_mode="key",
-                                vcr_cache=cache)
-    assert none is None
+    out_key, key_cache = model.apply(params, x, t, ctx, vcr_mode="key",
+                                     vcr_cache=cache)
+    assert len(key_cache) == cfg.n_vcr_layers  # key views also store
     # attending over concat(self, anchor) changes the output
     assert float(jnp.abs(out_key - out0).max()) > 1e-6
 
