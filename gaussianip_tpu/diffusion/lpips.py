@@ -1,0 +1,94 @@
+"""LPIPS perceptual distance (VGG16 backbone) in Flax.
+
+Replaces the `lpips` pip package the reference backpropagates through in
+stage 3 (reference: GaussianIP.py:121,434-436 — lpips.LPIPS(net='vgg') with
+normalize=True). Architecture follows the published LPIPS design: VGG16
+features at relu1_2/relu2_2/relu3_3/relu4_3/relu5_3, unit-normalized over
+channels, squared difference, learned 1x1 linear heads, spatial mean, summed
+over scales. Weight conversion from the torchvision VGG16 + lpips linear
+checkpoints lives in convert_lpips_weights (runs once on host when the user
+supplies the files); random-init instances are used in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# VGG16 conv plan: (channels, n_convs) per stage; features tapped after the
+# last relu of each stage
+VGG16_STAGES = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+# torchvision ImageNet normalization is folded via the LPIPS shift/scale
+LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+class VGG16Features(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        ci = 0
+        for si, (ch, n) in enumerate(VGG16_STAGES):
+            for li in range(n):
+                x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
+                            name=f"conv_{ci}")(x)
+                x = nn.relu(x)
+                ci += 1
+            feats.append(x)
+            if si < len(VGG16_STAGES) - 1:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return feats
+
+
+class LPIPS(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, normalize: bool = True):
+        """x, y: [B, H, W, 3]; normalize=True means inputs in [0, 1]
+        (the reference passes normalize=True). Returns [B] distances."""
+        if normalize:
+            x = 2.0 * x - 1.0
+            y = 2.0 * y - 1.0
+        shift = jnp.asarray(LPIPS_SHIFT)
+        scale = jnp.asarray(LPIPS_SCALE)
+        x = (x - shift) / scale
+        y = (y - shift) / scale
+        vgg = VGG16Features(dtype=self.dtype, name="vgg")
+        fx = vgg(x)
+        fy = vgg(y)
+        total = 0.0
+        for i, (a, b) in enumerate(zip(fx, fy)):
+            a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
+            b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
+            d = (a - b) ** 2
+            w = self.param(f"lin_{i}", nn.initializers.ones, (d.shape[-1],),
+                           jnp.float32)
+            # lpips linear heads are 1x1 convs with non-negative weights
+            d = jnp.sum(d * jnp.abs(w)[None, None, None, :], axis=-1)
+            total = total + jnp.mean(d, axis=(1, 2))
+        return total
+
+
+def convert_lpips_weights(vgg_torch_sd, lpips_lin_sd):
+    """torchvision vgg16 'features.*' + lpips 'lin{i}.model.1.weight' state
+    dicts -> flax params for LPIPS."""
+    conv_layers = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    vgg = {}
+    for ci, tl in enumerate(conv_layers):
+        vgg[f"conv_{ci}"] = {
+            "kernel": np.asarray(vgg_torch_sd[f"features.{tl}.weight"]).transpose(
+                2, 3, 1, 0),
+            "bias": np.asarray(vgg_torch_sd[f"features.{tl}.bias"]),
+        }
+    params = {"vgg": vgg}
+    for i in range(5):
+        w = np.asarray(lpips_lin_sd[f"lin{i}.model.1.weight"])  # [1, C, 1, 1]
+        params[f"lin_{i}"] = w.reshape(-1)
+    return {"params": params}
