@@ -45,6 +45,10 @@ class Stage3Config:
     densify_world_size_threshold: float = 0.015
     cameras_extent: float = 4.0
     bg_white: bool = struct.field(pytree_node=False, default=False)
+    # crop window in pixels at (height, width); defaults are the reference's
+    # 1024^2 constants (refine.py:311)
+    crop_y: tuple = struct.field(pytree_node=False, default=CROP_Y)
+    crop_x: tuple = struct.field(pytree_node=False, default=CROP_X)
 
 
 def make_stage3_step(
@@ -75,7 +79,8 @@ def make_stage3_step(
 
         def loss_fn(g, offset):
             out = render(g, cams, bg, render_cfg, mean2d_offset=offset)
-            crop = out.rgb[:, CROP_Y[0] : CROP_Y[1], CROP_X[0] : CROP_X[1], :]
+            cy, cx = cfg.crop_y, cfg.crop_x
+            crop = out.rgb[:, cy[0] : cy[1], cx[0] : cx[1], :]
             th, tw = tgt.shape[1], tgt.shape[2]
             small = jax.image.resize(crop, (b, th, tw, 3), "linear")
             l1 = jnp.mean(jnp.abs(small - tgt))

@@ -1,0 +1,110 @@
+"""Artifact saving: images, grids, image sequences -> mp4.
+
+Functional subset of the reference's SaverMixin (reference:
+threestudio/utils/saving.py:128-654) covering everything the active pipeline
+writes: per-view pngs, validation renders, the test-orbit mp4 at 30 fps
+(GaussianIP.py:539-547), and run manifests."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Optional
+
+import numpy as np
+
+
+def _to_uint8(img) -> np.ndarray:
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = (np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)
+    return a
+
+
+def save_image(path: str, img):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    Image.fromarray(_to_uint8(img)).save(path)
+    return path
+
+
+def save_image_grid(path: str, imgs, cols: Optional[int] = None):
+    imgs = [_to_uint8(i) for i in imgs]
+    n = len(imgs)
+    cols = cols or int(np.ceil(np.sqrt(n)))
+    rows = -(-n // cols)
+    h, w = imgs[0].shape[:2]
+    grid = np.zeros((rows * h, cols * w, 3), np.uint8)
+    for i, im in enumerate(imgs):
+        r, c = divmod(i, cols)
+        grid[r * h : (r + 1) * h, c * w : (c + 1) * w] = im
+    return save_image(path, grid)
+
+
+def save_video(path: str, frames, fps: int = 30):
+    """mp4 via imageio when an ffmpeg backend exists; .npy fallback."""
+    video = np.stack([_to_uint8(f) for f in frames])
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    try:
+        import imageio
+
+        imageio.mimwrite(path, video, fps=fps)
+        return path
+    except Exception:
+        alt = path + ".npy"
+        np.save(alt, video)
+        return alt
+
+
+def save_img_sequence_as_video(out_path: str, img_dir: str,
+                               pattern: str = r"(\d+)\.png", fps: int = 30):
+    """Collect numbered frames from a directory -> mp4 (reference:
+    SaverMixin.save_img_sequence, GaussianIP.py:539-547)."""
+    from PIL import Image
+
+    rx = re.compile(pattern)
+    entries = []
+    for f in os.listdir(img_dir):
+        m = rx.fullmatch(f)
+        if m:
+            entries.append((int(m.group(1)), f))
+    entries.sort()
+    frames = [np.asarray(Image.open(os.path.join(img_dir, f)))[..., :3]
+              for _, f in entries]
+    return save_video(out_path, frames, fps)
+
+
+def save_json(path: str, obj):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2, default=str)
+    return path
+
+
+class RunDirs:
+    """Per-run directory layout (replaces the reference's trial-dir +
+    log.txt pointer + config-file mutation, SURVEY.md §5: explicit per-run
+    stage state instead of racy shared-config rewrites)."""
+
+    def __init__(self, log_path: str, run_id: str):
+        self.root = os.path.join(log_path, run_id)
+        self.save = os.path.join(self.root, "save")
+        os.makedirs(self.save, exist_ok=True)
+
+    def path(self, *parts):
+        p = os.path.join(self.root, *parts)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        return p
+
+    def manifest(self, **updates):
+        """Read-modify-write the run manifest (stage progress lives here)."""
+        mp = os.path.join(self.root, "run.json")
+        data = {}
+        if os.path.exists(mp):
+            with open(mp) as f:
+                data = json.load(f)
+        data.update(updates)
+        save_json(mp, data)
+        return data

@@ -1,0 +1,400 @@
+"""gaussianip_tpu launcher — CLI-compatible with the reference's launch.py
+(reference: launch.py:42-192): `python launch.py --config configs/exp.yaml
+--train --cur_time <id> [dotted.key=value ...]`.
+
+Differences by design (SURVEY.md §7): no PyTorch-Lightning — an explicit
+train loop over jitted step functions; the stage comes from the config/CLI
+and run progress lives in <log_path>/<cur_time>/run.json instead of the
+reference's racy config-file rewrites (refine.py:317-332,
+GaussianIP.py:551-566); stage 2 runs in-process via --stage stage2 (or the
+standalone refine.py, kept for run.sh parity).
+
+Weight-free smoke runs: add --stub-guidance (tiny random diffusion stack +
+synthetic SMPL-X when model files are missing)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_skeleton(system_cfg, stub: bool):
+    from gaussianip_tpu.human.skeleton import Skeleton
+
+    smplx_path = system_cfg.get("smplx_path", "")
+    if not stub and smplx_path and (
+        os.path.exists(smplx_path)
+        or os.path.exists(os.path.join(smplx_path, "SMPLX_NEUTRAL.npz"))
+    ):
+        sk = Skeleton(smplx_path, gender=system_cfg.get("gender", "neutral"),
+                      apose=system_cfg.get("apose", True))
+    else:
+        import gaussianip_tpu as gt
+        from gaussianip_tpu.human.smplx_jax import make_test_model
+
+        if not stub:
+            gt.warn(f"SMPL-X model not found at '{smplx_path}' — using the "
+                    f"synthetic test body (geometry will be a blob)")
+        sk = Skeleton(_test_model=make_test_model(
+            np.random.default_rng(0), n_verts=2000, n_faces=3000),
+            apose=system_cfg.get("apose", True))
+    sk.forward_smplx()
+    sk.scale(-10)
+    return sk
+
+
+def run_stage1(cfg, dirs, args):
+    import jax
+    import jax.numpy as jnp
+
+    import gaussianip_tpu as gt
+    from gaussianip_tpu.data.sampler import CameraSamplerConfig, eval_orbit_batch
+    from gaussianip_tpu.model.adam import AdamHyper
+    from gaussianip_tpu.model.gaussians import create_from_pcd
+    from gaussianip_tpu.model.ply import state_to_ply
+    from gaussianip_tpu.ops.knn import mean_dist2_3nn
+    from gaussianip_tpu.render.render import RenderConfig, render
+    from gaussianip_tpu.data.cameras import camera_from_c2w
+    from gaussianip_tpu.data.sampler import refine_orbit_batch
+    from gaussianip_tpu.human.posemap import openpose_draw
+    from gaussianip_tpu.system.stage1 import (
+        Stage1Config,
+        init_train_state,
+        train_stage1,
+    )
+    from gaussianip_tpu.system import pipeline as pl
+    from gaussianip_tpu.utils.saving import save_image
+
+    sys_cfg = cfg["system"]
+    data_cfg = cfg["data"]
+    sk = build_skeleton(sys_cfg, args.stub_guidance)
+
+    n_pts = int(sys_cfg.get("pts_num", 100000))
+    pts = sk.sample_smplx_points(n_pts, seed=cfg.get("seed", 42))
+    colors = np.full((n_pts, 3), 0.5, np.float32)
+    capacity = int(sys_cfg.get("capacity", max(1 << 17, 2 * n_pts)))
+    d2 = mean_dist2_3nn(jnp.asarray(pts))
+    gs = create_from_pcd(pts, colors, capacity, d2)
+    ts = init_train_state(gs)
+
+    s1 = Stage1Config(
+        render_height=int(sys_cfg.get("height", 512)),
+        render_width=int(sys_cfg.get("width", 512)),
+        bg_white=bool(sys_cfg.get("bg_white", False)),
+        densify_prune_start_step=int(sys_cfg["densify_prune_start_step"]),
+        densify_prune_end_step=int(sys_cfg["densify_prune_end_step"]),
+        densify_prune_interval=int(sys_cfg["densify_prune_interval"]),
+        densify_prune_min_opacity=float(sys_cfg["densify_prune_min_opacity"]),
+        densify_prune_world_size_threshold=float(
+            sys_cfg["densify_prune_world_size_threshold"]),
+        prune_only_start_step=int(sys_cfg["prune_only_start_step"]),
+        prune_only_end_step=int(sys_cfg["prune_only_end_step"]),
+        prune_only_interval=int(sys_cfg["prune_only_interval"]),
+        prune_opacity_threshold=float(sys_cfg["prune_opacity_threshold"]),
+        prune_world_size_threshold=float(sys_cfg["prune_world_size_threshold"]),
+        max_grad=float(sys_cfg["max_grad"]),
+        max_steps=int(cfg["trainer"]["max_steps"]),
+    )
+    cam_cfg = CameraSamplerConfig(
+        height=s1.render_height, width=s1.render_width,
+        batch_size=int(data_cfg.get("batch_size", 4)),
+        elevation_range=tuple(data_cfg["elevation_range"]),
+        azimuth_range=tuple(data_cfg["azimuth_range"]),
+        camera_distance_range=tuple(data_cfg["camera_distance_range"]),
+        fovy_range=tuple(data_cfg["fovy_range"]),
+        enable_near_head_poses=bool(data_cfg["enable_near_head_poses"]),
+        enable_near_back_poses=bool(data_cfg["enable_near_back_poses"]),
+        head_camera_distance_range=tuple(data_cfg["head_camera_distance_range"]),
+        back_camera_distance_range=tuple(data_cfg["back_camera_distance_range"]),
+        head_prob=float(data_cfg["head_prob"]),
+        back_prob=float(data_cfg["back_prob"]),
+        head_start_step=int(data_cfg["head_start_step"]),
+        back_start_step=int(data_cfg["back_start_step"]),
+        head_azimuth_range=tuple(data_cfg["head_azimuth_range"]),
+        back_azimuth_range=tuple(data_cfg["back_azimuth_range"]),
+        eval_height=int(data_cfg["eval_height"]),
+        eval_width=int(data_cfg["eval_width"]),
+        eval_elevation_deg=float(data_cfg["eval_elevation_deg"]),
+        eval_camera_distance=float(data_cfg["eval_camera_distance"]),
+        eval_camera_distance_head=float(data_cfg["eval_camera_distance_head"]),
+        eval_fovy_deg=float(data_cfg["eval_fovy_deg"]),
+    )
+
+    if args.stub_guidance:
+        guidance = pl.build_stub_guidance_stack(
+            sys_cfg["prompt_processor"]["prompt"],
+            sys_cfg["prompt_processor"]["negative_prompt"],
+        )
+    else:
+        from gaussianip_tpu.guidance.ipa import (
+            AHDSGuidance, GuidanceConfig, compute_image_embeds, ImageEmbeds)
+        from gaussianip_tpu.guidance.prompts import make_prompt_embeddings
+        from gaussianip_tpu.diffusion.ip_adapter import ProjPlusModel
+        from gaussianip_tpu.diffusion import weights as W
+        import jax.numpy as jnp
+
+        g_cfg = sys_cfg["guidance"]
+        models = pl.load_real_models(g_cfg)
+        encode = pl.load_text_encoder(
+            g_cfg["pretrained_realistic_model_name_or_path"])
+        pe = make_prompt_embeddings(
+            encode, sys_cfg["prompt_processor"]["prompt"],
+            g_cfg["negative_prompt_faceid"], g_cfg.get("null_prompt", ""),
+            cache_dir=dirs.path("text_cache", "x")[: -1],
+            model_name=g_cfg["pretrained_realistic_model_name_or_path"],
+        )
+        img_enc = pl.load_image_encoder(g_cfg["image_encoder_faceid_path"])
+        (pos_e, pos_face), (irr_e, irr_face) = pl.face_identity(
+            g_cfg["pil_image_faceid_path"], g_cfg["irr_pil_image_path"])
+        proj = ProjPlusModel()
+        ipa_full = W.load_torch_state_dict(g_cfg["ip_ckpt_faceid_v2_path"])
+        proj_params = W.convert_proj_plus(
+            {k: np.asarray(v) for k, v in ipa_full["image_proj"].items()})
+        img_embeds = compute_image_embeds(
+            proj, proj_params, jnp.asarray(pos_e), jnp.asarray(irr_e),
+            jnp.asarray(img_enc(pos_face)), jnp.asarray(img_enc(irr_face)),
+            jnp.asarray(img_enc(np.zeros_like(pos_face))),
+            s_scale=float(g_cfg.get("ipa_faceid_s_scale", 0.4)),
+        )
+        guidance = AHDSGuidance(
+            models, pe, img_embeds,
+            GuidanceConfig(
+                guidance_scale=float(g_cfg.get("guidance_scale", 7.5)),
+                guidance_rescale=float(g_cfg.get("guidance_rescale", 0.75)),
+                ipa_scale=float(g_cfg.get("ipa_faceid_scale", 0.5)),
+                use_anpg=bool(g_cfg.get("use_anpg", True)),
+                grad_clip_pixel=bool(g_cfg.get("grad_clip_pixel", True)),
+                grad_clip_threshold=float(g_cfg.get("grad_clip_threshold", 1.0)),
+            ),
+        )
+
+    rcfg = RenderConfig()
+    n_steps = args.max_steps or s1.max_steps
+    t0 = time.time()
+
+    def log(i, m):
+        import gaussianip_tpu as gt
+
+        gt.info(f"step {i}: loss={m['loss']:.4f} sds={m['loss_sds']:.4f} "
+                f"n={int(m['n_active'])} ({time.time() - t0:.0f}s)")
+
+    ts = train_stage1(ts, s1, cam_cfg, rcfg, AdamHyper(), guidance,
+                      sk.points3d, jax.random.PRNGKey(cfg.get("seed", 42)),
+                      n_steps=n_steps, log_fn=log,
+                      log_every=int(cfg["trainer"].get("log_every_n_steps",
+                                                       100)))
+
+    # render + save the 32 refine views (before_refine handoff)
+    n_views = int(sys_cfg.get("refine_n_views", 32))
+    orbit = refine_orbit_batch(
+        n_views, float(sys_cfg["refine_elevation"]),
+        float(sys_cfg["refine_camera_distance"]),
+        float(sys_cfg["refine_fovy_deg"]),
+        int(sys_cfg.get("ori_height", 1024)), int(sys_cfg.get("ori_width", 1024)),
+    )
+    H = int(sys_cfg.get("ori_height", 1024))
+    import jax as _jax
+
+    cams = _jax.vmap(lambda m, f: camera_from_c2w(m, f, H, H))(
+        orbit.c2w, orbit.fovy)
+    out = render(ts.gaussians, cams, jnp.zeros(3), rcfg)
+    head_zoom = (orbit.center_z == 0.65) & (orbit.azimuth_deg > 0)
+    poses, _, _ = _jax.vmap(
+        lambda m, a, hz: openpose_draw(jnp.asarray(sk.points3d), m, a, hz, H, H)
+    )(orbit.mvp_mtx, orbit.azimuth_deg, head_zoom)
+    np.savez(dirs.path("before_refine.npz"),
+             images=np.asarray(out.rgb), control_images=np.asarray(poses))
+    for i in range(n_views):
+        save_image(dirs.path("save", f"raw_rgb_{i}.png"), out.rgb[i])
+
+    ply_path = dirs.path(f"it{n_steps}.ply")
+    state_to_ply(ts.gaussians, ply_path)
+    dirs.manifest(stage1="done", stage1_steps=n_steps, ply=ply_path,
+                  stage1_wall_s=round(time.time() - t0, 1))
+    import gaussianip_tpu as gt
+
+    gt.info(f"stage 1 done in {time.time() - t0:.0f}s -> {ply_path}")
+
+
+def run_stage2(cfg, dirs, args):
+    """In-process VCR refinement (the reference shells out to refine.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    import gaussianip_tpu as gt
+    from gaussianip_tpu.system import pipeline as pl
+    from gaussianip_tpu.system.refine import (
+        PROMPT_SUFFIX,
+        REFINE_NEGATIVE_PROMPT,
+        VIEW_NAME_ALL,
+        RefineModels,
+        crop_and_downsample,
+        refine_views,
+    )
+    from gaussianip_tpu.utils.saving import save_image
+
+    sys_cfg = cfg["system"]
+    data = np.load(dirs.path("before_refine.npz"))
+    images = jnp.asarray(data["images"])
+    control = jnp.asarray(data["control_images"])
+
+    if args.stub_guidance:
+        g = pl.build_stub_guidance_stack("person", "bad", image_size=64)
+        models = RefineModels(*g.models)
+        from gaussianip_tpu.guidance.prompts import fake_text_encoder
+
+        enc = fake_text_encoder(77, 32)
+        images = jax.image.resize(images, (32, 64, 64, 3), "linear")
+        control = jax.image.resize(control, (32, 64, 64, 3), "linear")
+        ip_tok = np.zeros((4, 32), np.float32)
+    else:
+        g_cfg = sys_cfg["guidance"]
+        gm = pl.load_real_models(g_cfg)
+        models = RefineModels(*gm)
+        enc = pl.load_text_encoder(
+            g_cfg["pretrained_realistic_model_name_or_path"])
+        raise NotImplementedError(
+            "full-weights stage 2 requires the identity-token plumbing wired "
+            "in run_full_refine (coming with checkpoint availability)")
+
+    base = sys_cfg["prompt_processor"]["prompt"]
+    contexts = {}
+    for name in VIEW_NAME_ALL:
+        suffix = PROMPT_SUFFIX.get(name, "")
+        pos = enc([base + suffix])[0]
+        neg = enc([REFINE_NEGATIVE_PROMPT])[0]
+        pos = np.concatenate([pos, ip_tok], axis=0)
+        neg = np.concatenate([neg, ip_tok], axis=0)
+        contexts[name] = jnp.asarray(np.stack([neg, pos]))
+
+    refined = refine_views(models, images, control, contexts,
+                           jax.random.PRNGKey(2024))
+    for i in range(refined.shape[0]):
+        save_image(dirs.path("save", f"refined_rgb_{i}.png"), refined[i])
+    small = crop_and_downsample(refined) if refined.shape[1] >= 1024 else refined
+    np.savez(dirs.path("after_refine.npz"),
+             refined_rgbs_small=np.asarray(small))
+    dirs.manifest(stage2="done")
+    gt.info(f"stage 2 done -> {dirs.path('after_refine.npz')}")
+
+
+def run_stage3(cfg, dirs, args):
+    import jax
+    import jax.numpy as jnp
+
+    import gaussianip_tpu as gt
+    from gaussianip_tpu.data.cameras import camera_from_c2w
+    from gaussianip_tpu.data.sampler import eval_orbit_batch, refine_orbit_batch
+    from gaussianip_tpu.model.adam import AdamHyper
+    from gaussianip_tpu.model.ply import state_from_ply, state_to_ply
+    from gaussianip_tpu.render.render import RenderConfig, render
+    from gaussianip_tpu.system.stage1 import init_train_state
+    from gaussianip_tpu.system.stage3 import Stage3Config, train_stage3
+    from gaussianip_tpu.utils.saving import save_image, save_video
+    from gaussianip_tpu.data.sampler import CameraSamplerConfig
+
+    sys_cfg = cfg["system"]
+    manifest_ply = dirs.manifest().get("ply")
+    gs = state_from_ply(manifest_ply)
+    ts = init_train_state(gs)
+    refined = jnp.asarray(
+        np.load(dirs.path("after_refine.npz"))["refined_rgbs_small"])
+
+    H = int(sys_cfg.get("ori_height", 1024))
+    if args.stub_guidance:
+        H = max(refined.shape[1] * 2, 64)
+    n_views = int(sys_cfg.get("refine_n_views", 32))
+    orbit = refine_orbit_batch(
+        n_views, float(sys_cfg["refine_elevation"]),
+        float(sys_cfg["refine_camera_distance"]),
+        float(sys_cfg["refine_fovy_deg"]), H, H)
+    cy, cx = (60, 890), (220, 800)
+    if H != 1024:  # scale the reference crop window to the render size
+        cy = (60 * H // 1024, max(890 * H // 1024, 60 * H // 1024 + 8))
+        cx = (220 * H // 1024, max(800 * H // 1024, 220 * H // 1024 + 8))
+    s3 = Stage3Config(
+        height=H, width=H, crop_y=cy, crop_x=cx,
+        refine_start_step=int(sys_cfg.get("refine_start_step", 2400)),
+        max_steps=args.max_steps or int(cfg["trainer"]["max_steps"]),
+        train_bs=int(sys_cfg.get("refine_train_bs", 4)),
+        lambda_l1=float(sys_cfg.get("lambda_l1", 10)),
+        lambda_lpips=float(sys_cfg.get("lambda_lpips", 15)),
+        max_grad=float(sys_cfg["max_grad"]),
+    )
+    lpips_fn = None  # LPIPS weights load here when available
+    t0 = time.time()
+    ts = train_stage3(ts, s3, RenderConfig(), AdamHyper(), orbit, refined,
+                      jax.random.PRNGKey(7), lpips_fn=lpips_fn,
+                      log_fn=lambda i, m: gt.info(
+                          f"s3 step {i}: loss={m['loss']:.4f}"))
+
+    # test orbit video + final ply
+    cam_cfg = CameraSamplerConfig(
+        eval_height=min(H, 1024), eval_width=min(H, 1024),
+        eval_elevation_deg=float(cfg["data"]["eval_elevation_deg"]),
+        eval_camera_distance=float(cfg["data"]["eval_camera_distance"]),
+        eval_camera_distance_head=float(cfg["data"]["eval_camera_distance_head"]),
+        eval_fovy_deg=float(cfg["data"]["eval_fovy_deg"]),
+        n_test_views=int(cfg["data"].get("n_test_views", 144)),
+    )
+    test = eval_orbit_batch(cam_cfg, "test")
+    frames = []
+    He = cam_cfg.eval_height
+    for i in range(test.c2w.shape[0]):
+        cams = jax.vmap(lambda m, f: camera_from_c2w(m, f, He, He))(
+            test.c2w[i : i + 1], test.fovy[i : i + 1])
+        out = render(ts.gaussians, cams, jnp.zeros(3), RenderConfig())
+        frames.append(np.asarray(out.rgb[0]))
+        if i % 16 == 0:
+            save_image(dirs.path("save", "test", f"{i}.png"), out.rgb[0])
+    save_video(dirs.path("save", "test.mp4"), frames, fps=30)
+    final_ply = dirs.path("save", "last.ply")
+    state_to_ply(ts.gaussians, final_ply)
+    dirs.manifest(stage3="done", final_ply=final_ply,
+                  stage3_wall_s=round(time.time() - t0, 1))
+    gt.info(f"stage 3 done in {time.time() - t0:.0f}s -> {final_ply}")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="configs/exp.yaml")
+    parser.add_argument("--train", action="store_true")
+    parser.add_argument("--validate", action="store_true")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--export", action="store_true")
+    parser.add_argument("--cur_time", required=True)
+    parser.add_argument("--stage", default=None,
+                        help="override system.stage (stage1|stage2|stage3)")
+    parser.add_argument("--stub-guidance", action="store_true",
+                        help="weight-free smoke run (tiny random diffusion)")
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--gpu", default="0")  # accepted for CLI parity
+    args, extras = parser.parse_known_args()
+
+    from gaussianip_tpu.utils.config import load_config
+    from gaussianip_tpu.utils.saving import RunDirs
+
+    cfg = load_config(args.config, *extras)
+    stage = args.stage or cfg["system"].get("stage", "stage1")
+    dirs = RunDirs(cfg["system"].get("log_path", "logs"), args.cur_time)
+    dirs.manifest(config=args.config, stage_requested=stage,
+                  prompt=cfg["system"]["prompt_processor"]["prompt"])
+
+    np.random.seed(int(cfg.get("seed", 42)))
+
+    if stage == "stage1":
+        run_stage1(cfg, dirs, args)
+    elif stage == "stage2":
+        run_stage2(cfg, dirs, args)
+    elif stage == "stage3":
+        run_stage3(cfg, dirs, args)
+    else:
+        raise ValueError(f"unknown stage {stage}")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,9 +38,12 @@ def test_stage3_converges_toward_targets(rng):
     gs = create_from_pcd(pts, np.full((n, 3), 0.5, np.float32), cap,
                          mean_dist2_3nn(jnp.asarray(pts), block=256))
     gs = gs.replace(opacity=jnp.full((cap, 1), 2.0))
+    cy = (CROP_Y[0] * res // 1024, CROP_Y[1] * res // 1024)
+    cx = (CROP_X[0] * res // 1024, CROP_X[1] * res // 1024)
     cfg = Stage3Config(height=res, width=res, train_bs=2, max_steps=10,
                        densify_at_global_step=2405,
-                       densify_world_size_threshold=5.0)
+                       densify_world_size_threshold=5.0,
+                       crop_y=cy, crop_x=cx)
     orbit = refine_orbit_batch(8, 17.0, 1.5, 70.0, res, res)
     rcfg = RenderConfig(backend="reference")
 
@@ -49,14 +52,7 @@ def test_stage3_converges_toward_targets(rng):
     cams = jax.vmap(lambda m, f: camera_from_c2w(m, f, res, res))(
         orbit.c2w, orbit.fovy)
     tgt_full = render(gs_t, cams, jnp.zeros(3), rcfg).rgb
-    cy = (CROP_Y[0] * res // 1024, CROP_Y[1] * res // 1024)
-    cx = (CROP_X[0] * res // 1024, CROP_X[1] * res // 1024)
-    # monkeypatch crop window scale for the small test via global override
-    import gaussianip_tpu.system.stage3 as s3
-    import gaussianip_tpu.system.refine as rf
-    old_y, old_x = rf.CROP_Y, rf.CROP_X
-    s3.CROP_Y, s3.CROP_X = cy, cx
-    try:
+    if True:
         crop = tgt_full[:, cy[0]:cy[1], cx[0]:cx[1], :]
         tgt = jax.image.resize(
             crop, (8, crop.shape[1] // 2, crop.shape[2] // 2, 3), "linear")
@@ -71,5 +67,3 @@ def test_stage3_converges_toward_targets(rng):
         )
         assert losses[-1] < losses[0]
         assert int(ts.step) == 10
-    finally:
-        s3.CROP_Y, s3.CROP_X = old_y, old_x
