@@ -53,7 +53,7 @@ def main():
                       jnp.tile(jnp.array([[0.0, 0, 1]]), (batch, 1)))
     cams = jax.vmap(lambda m: camera_from_c2w(m, jnp.float32(1.0), res, res))(c2w)
     bg = jnp.zeros(3)
-    cfg = RenderConfig(backend="pallas", tile=16, chunk=128, d_max=16)
+    cfg = RenderConfig(backend="pallas")
 
     # The axon tunnel makes per-call host timing unreliable (~25 ms RPC
     # latency, async completion): iterate INSIDE one jit via lax.scan and
@@ -102,6 +102,60 @@ def main():
     t_fwd = max(timeit(fwd_k, state) - t_rpc, 1e-9) / K
     t_fb = max(timeit(fwdbwd_k, state) - t_rpc, 1e-9) / K
 
+    # stage-1 training shape: 512^2, camera batch 4 (the hot loop)
+    res2, b2 = 512, 4
+    az2 = jnp.linspace(0, 2 * jnp.pi, b2, endpoint=False)
+    eye2 = jnp.stack([1.5 * jnp.cos(az2), 1.5 * jnp.sin(az2),
+                      jnp.full((b2,), 0.1)], -1)
+    c2w2 = look_at_c2w(eye2, jnp.zeros((b2, 3)),
+                       jnp.tile(jnp.array([[0.0, 0, 1]]), (b2, 1)))
+    cams2 = jax.vmap(lambda m: camera_from_c2w(m, jnp.float32(1.0), res2, res2))(c2w2)
+
+    def loss2(st, off):
+        out = render(st, cams2, bg, cfg, mean2d_offset=off)
+        return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha)
+
+    @jax.jit
+    def fwdbwd2_k(state):
+        carry = jnp.float32(0.0)
+        off = jnp.zeros((b2, n, 2))
+        for _ in range(K):
+            st = state.replace(opacity=state.opacity + carry * 1e-12)
+            g = jax.grad(loss2, argnums=(0, 1), allow_int=True)(st, off)
+            carry = jnp.sum(g[1]) + jnp.sum(g[0].xyz)
+        return carry
+
+    t_fb2 = max(timeit(fwdbwd2_k, state) - t_rpc, 1e-9) / K
+
+    # UNet+ControlNet denoise rate at the stage-1 workload: 3-way CFG x
+    # batch 4 = 12 latents of 64^2x4, bf16, SD1.5 architecture
+    from gaussianip_tpu.diffusion.unet import (
+        ControlNetModel, UNet2DConditionModel, UNetConfig)
+
+    ucfg = UNetConfig(lora_rank=128, ip_tokens=4, dtype=jnp.bfloat16)
+    unet = UNet2DConditionModel(ucfg)
+    cn = ControlNetModel(ucfg)
+    key = jax.random.PRNGKey(0)
+    lat = jnp.zeros((12, 64, 64, 4), jnp.bfloat16)
+    ts_ = jnp.full((12,), 500, jnp.int32)
+    ctx = jnp.zeros((12, 81, 768), jnp.bfloat16)
+    cimg = jnp.zeros((12, 512, 512, 3), jnp.bfloat16)
+    uparams = jax.jit(unet.init)(key, lat, ts_, ctx)
+    cparams = jax.jit(cn.init)(key, lat, ts_, ctx, cimg)
+
+    @jax.jit
+    def denoise_k(lat):
+        x = lat
+        for _ in range(K):
+            dr, mid = cn.apply(cparams, x, ts_, ctx, cimg)
+            eps, _ = unet.apply(uparams, x, ts_, ctx,
+                                down_block_residuals=dr,
+                                mid_block_residual=mid)
+            x = eps
+        return jnp.sum(x.astype(jnp.float32))
+
+    t_unet = max(timeit(denoise_k, lat) - t_rpc, 1e-9) / K
+
     fps_fb = batch / t_fb
     baseline_fps = 100.0
     print(json.dumps({
@@ -111,6 +165,9 @@ def main():
         "vs_baseline": round(fps_fb / baseline_fps, 3),
         "fwd_ms": round(t_fwd * 1000 / batch, 2),
         "fwd_bwd_ms": round(t_fb * 1000 / batch, 2),
+        "train_step_render_512_b4_ms": round(t_fb2 * 1000, 2),
+        "unet_denoise_steps_per_s": round(1.0 / t_unet, 2),
+        "unet_denoise_ms": round(t_unet * 1000, 2),
         "device": str(jax.devices()[0]),
     }))
 

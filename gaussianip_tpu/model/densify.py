@@ -210,3 +210,22 @@ def prune_only(
     )
     new_state = state.replace(n_active=n_new.astype(jnp.int32), **new_params)
     return new_state, AdamState(m=new_m, v=new_v, count=opt.count), new_stats
+
+
+def reset_opacity(state: GaussianState, opt: AdamState, ceiling: float = 0.01):
+    """Clamp opacities to <= ceiling and zero the opacity Adam moments
+    (reference: gaussian_model.py:218-221 reset_opacity +
+    replace_tensor_to_optimizer's moment reset). Used by the vanilla-3DGS
+    photo-reconstruction trainer's periodic opacity reset."""
+    from ..ops.transforms import inverse_sigmoid
+
+    op = jnp.minimum(state.get_opacity(), ceiling)
+    new_logit = inverse_sigmoid(jnp.clip(op, 1e-6, 1 - 1e-6))
+    new_logit = jnp.where(state.active_mask()[:, None], new_logit,
+                          state.opacity)
+    new_m = dict(opt.m)
+    new_v = dict(opt.v)
+    new_m["opacity"] = jnp.zeros_like(opt.m["opacity"])
+    new_v["opacity"] = jnp.zeros_like(opt.v["opacity"])
+    return (state.replace(opacity=new_logit),
+            AdamState(m=new_m, v=new_v, count=opt.count))

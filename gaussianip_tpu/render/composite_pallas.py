@@ -154,11 +154,24 @@ def _fwd_kernel(
         log_t_new = log_t + cum_ex[chunk - 1 : chunk, :] + log_om[chunk - 1 : chunk, :]
         return (log_t_new, last)
 
-    _, last = jax.lax.fori_loop(
-        0,
-        nchunks,
-        body,
-        (jnp.zeros((1, p), jnp.float32), jnp.full((1, p), -1.0, jnp.float32)),
+    # while-loop with early exit: stop once every pixel's transmittance is
+    # below the contribution threshold (dense tiles saturate in 1-2 chunks)
+    log_eps = jnp.float32(-9.22)  # log(1e-4)
+
+    def cond(carry):
+        ci, log_t, last = carry
+        return (ci < nchunks) & (jnp.max(log_t) >= log_eps)
+
+    def wbody(carry):
+        ci, log_t, last = carry
+        log_t_new, last_new = body(ci, (log_t, last))
+        return (ci + 1, log_t_new, last_new)
+
+    _, _, last = jax.lax.while_loop(
+        cond,
+        wbody,
+        (jnp.int32(0), jnp.zeros((1, p), jnp.float32),
+         jnp.full((1, p), -1.0, jnp.float32)),
     )
     out_ref[0, 0, 5:6, :] = last
 
@@ -174,13 +187,16 @@ def _bwd_kernel(
     t = pl.program_id(1)
     start = starts_ref[b, t]
     count = counts_ref[b, t]
-    nchunks = (count + chunk - 1) // chunk
     p = tile * tile
 
     featpix = featpix_ref[:]
     gout = gout_ref[0, 0]  # [8, P]
     alpha_out = out_ref[0, 0, 4:5, :]
     last = out_ref[0, 0, 5:6, :]
+    # only chunks up to the last contributor carry gradient
+    max_last = jnp.max(last).astype(jnp.int32)
+    nchunks = jnp.minimum((count + chunk - 1) // chunk,
+                          jnp.where(max_last < 0, 0, max_last // chunk + 1))
     # early-stop keeps T_stop >= 1e-4, so 1 - alpha_out is well conditioned
     log_t_stop = jnp.log(jnp.maximum(1.0 - alpha_out, 1e-12))
     tri_in_up = _tri(chunk, strict=False, upper=True)  # inclusive suffix sums
@@ -241,6 +257,28 @@ def _bwd_kernel(
         body,
         (jnp.zeros((1, p), jnp.float32), jnp.zeros((1, p), jnp.float32)),
     )
+
+    # zero-fill the gradient rows of chunks past the last contributor
+    # (skipped above) so the HBM outputs never contain garbage
+    nchunks_all = (count + chunk - 1) // chunk
+
+    def zero_body(ci, _):
+        base = pl.multiple_of(start + ci * chunk, chunk)
+        dcoeff_buf[:] = jnp.zeros((8, chunk), jnp.float32)
+        dfeat_buf[:] = jnp.zeros((8, chunk), jnp.float32)
+        dc = pltpu.make_async_copy(
+            dcoeff_buf, dcoeff_hbm.at[b, :, pl.ds(base, chunk)], sems.at[0]
+        )
+        df = pltpu.make_async_copy(
+            dfeat_buf, dfeat_hbm.at[b, :, pl.ds(base, chunk)], sems.at[1]
+        )
+        dc.start()
+        df.start()
+        dc.wait()
+        df.wait()
+        return 0
+
+    jax.lax.fori_loop(nchunks, nchunks_all, zero_body, 0)
 
 
 def _fwd_call(coeff, feat, starts, counts, tile, chunk, interpret):

@@ -32,7 +32,7 @@ from .preprocess import gaussian_power_coeffs, project_gaussians
 class RenderConfig:
     tile: int = struct.field(pytree_node=False, default=16)
     chunk: int = struct.field(pytree_node=False, default=128)
-    d_max: int = struct.field(pytree_node=False, default=16)
+    d_max: int = struct.field(pytree_node=False, default=9)
     icap: int = struct.field(pytree_node=False, default=0)  # 0 = auto
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
