@@ -12,14 +12,29 @@ pipeline, README.md:104; 100 FPS is a conservative literature estimate).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
 def main():
+    t_start = time.time()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "520"))
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: reruns skip the 1-2 min compiles
+    try:
+        os.makedirs(".jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    def time_left():
+        return budget_s - (time.time() - t_start)
 
     from gaussianip_tpu.data.cameras import camera_from_c2w
     from gaussianip_tpu.model.gaussians import create_from_pcd
@@ -102,6 +117,8 @@ def main():
     t_fwd = max(timeit(fwd_k, state) - t_rpc, 1e-9) / K
     t_fb = max(timeit(fwdbwd_k, state) - t_rpc, 1e-9) / K
 
+    extras = {}
+
     # stage-1 training shape: 512^2, camera batch 4 (the hot loop)
     res2, b2 = 512, 4
     az2 = jnp.linspace(0, 2 * jnp.pi, b2, endpoint=False)
@@ -125,35 +142,45 @@ def main():
             carry = jnp.sum(g[1]) + jnp.sum(g[0].xyz)
         return carry
 
-    t_fb2 = max(timeit(fwdbwd2_k, state) - t_rpc, 1e-9) / K
+    if time_left() > 150:
+        try:
+            t_fb2 = max(timeit(fwdbwd2_k, state) - t_rpc, 1e-9) / K
+            extras["train_step_render_512_b4_ms"] = round(t_fb2 * 1000, 2)
+        except Exception as e:
+            extras["train_step_render_512_b4_error"] = str(e)[:80]
 
     # UNet+ControlNet denoise rate at the stage-1 workload: 3-way CFG x
     # batch 4 = 12 latents of 64^2x4, bf16, SD1.5 architecture
-    from gaussianip_tpu.diffusion.unet import (
-        ControlNetModel, UNet2DConditionModel, UNetConfig)
+    if time_left() > 180:
+        try:
+            from gaussianip_tpu.diffusion.unet import (
+                ControlNetModel, UNet2DConditionModel, UNetConfig)
 
-    ucfg = UNetConfig(lora_rank=128, ip_tokens=4, dtype=jnp.bfloat16)
-    unet = UNet2DConditionModel(ucfg)
-    cn = ControlNetModel(ucfg)
-    key = jax.random.PRNGKey(0)
-    lat = jnp.zeros((12, 64, 64, 4), jnp.bfloat16)
-    ts_ = jnp.full((12,), 500, jnp.int32)
-    ctx = jnp.zeros((12, 81, 768), jnp.bfloat16)
-    cimg = jnp.zeros((12, 512, 512, 3), jnp.bfloat16)
-    uparams = jax.jit(unet.init)(key, lat, ts_, ctx)
-    cparams = jax.jit(cn.init)(key, lat, ts_, ctx, cimg)
+            ucfg = UNetConfig(lora_rank=128, ip_tokens=4, dtype=jnp.bfloat16)
+            unet = UNet2DConditionModel(ucfg)
+            cn = ControlNetModel(ucfg)
+            key = jax.random.PRNGKey(0)
+            lat = jnp.zeros((12, 64, 64, 4), jnp.bfloat16)
+            ts_ = jnp.full((12,), 500, jnp.int32)
+            ctx = jnp.zeros((12, 81, 768), jnp.bfloat16)
+            cimg = jnp.zeros((12, 512, 512, 3), jnp.bfloat16)
+            uparams = jax.jit(unet.init)(key, lat, ts_, ctx)
+            cparams = jax.jit(cn.init)(key, lat, ts_, ctx, cimg)
 
-    @jax.jit
-    def denoise_1(lat):
-        # single step (the K-chain compile of the full SD1.5 graph is too
-        # slow through the remote-compile tunnel); RPC overhead subtracted
-        dr, mid = cn.apply(cparams, lat, ts_, ctx, cimg)
-        eps, _ = unet.apply(uparams, lat, ts_, ctx,
-                            down_block_residuals=dr,
-                            mid_block_residual=mid)
-        return jnp.sum(eps.astype(jnp.float32))
+            @jax.jit
+            def denoise_1(lat):
+                # single step; RPC overhead subtracted
+                dr, mid = cn.apply(cparams, lat, ts_, ctx, cimg)
+                eps, _ = unet.apply(uparams, lat, ts_, ctx,
+                                    down_block_residuals=dr,
+                                    mid_block_residual=mid)
+                return jnp.sum(eps.astype(jnp.float32))
 
-    t_unet = max(timeit(denoise_1, lat, reps=5) - t_rpc, 1e-9)
+            t_unet = max(timeit(denoise_1, lat, reps=5) - t_rpc, 1e-9)
+            extras["unet_denoise_steps_per_s"] = round(1.0 / t_unet, 2)
+            extras["unet_denoise_ms"] = round(t_unet * 1000, 2)
+        except Exception as e:
+            extras["unet_denoise_error"] = str(e)[:80]
 
     fps_fb = batch / t_fb
     baseline_fps = 100.0
@@ -164,9 +191,7 @@ def main():
         "vs_baseline": round(fps_fb / baseline_fps, 3),
         "fwd_ms": round(t_fwd * 1000 / batch, 2),
         "fwd_bwd_ms": round(t_fb * 1000 / batch, 2),
-        "train_step_render_512_b4_ms": round(t_fb2 * 1000, 2),
-        "unet_denoise_steps_per_s": round(1.0 / t_unet, 2),
-        "unet_denoise_ms": round(t_unet * 1000, 2),
+        **extras,
         "device": str(jax.devices()[0]),
     }))
 

@@ -241,8 +241,11 @@ def train_stage1(
     n_steps: int | None = None,
     log_every: int = 100,
     log_fn: Callable[[int, dict], None] | None = None,
+    val_every: int = 0,
+    val_fn: Callable[[int, "TrainState"], None] | None = None,
 ):
-    """Host schedule loop for stage 1."""
+    """Host schedule loop for stage 1 (validation renders every
+    `val_every` steps, reference: configs/exp.yaml:194 + GaussianIP.py:509)."""
     step_fn = make_train_step(
         cfg, cam_cfg, render_cfg, adam_hyper, guidance, skel_points3d
     )
@@ -259,4 +262,6 @@ def train_stage1(
             ts = prune(ts)
         if log_fn is not None and i % log_every == 0:
             log_fn(i, jax.device_get(metrics))
+        if val_fn is not None and val_every and i % val_every == 0 and i > 0:
+            val_fn(i, ts)
     return ts

@@ -175,6 +175,19 @@ def run_stage1(cfg, dirs, args):
     rcfg = RenderConfig()
     n_steps = args.max_steps or s1.max_steps
     t0 = time.time()
+    val_every = int(cfg["trainer"].get("val_check_interval", 100))
+    eval_batch = eval_orbit_batch(cam_cfg, "val")
+    from gaussianip_tpu.utils import native_io
+
+    def save_val(i, ts_state):
+        eh, ew = cam_cfg.eval_height, cam_cfg.eval_width
+        cams_v = jax.vmap(lambda m, f: camera_from_c2w(m, f, eh, ew))(
+            eval_batch.c2w[0:1], eval_batch.fovy[0:1])
+        img = render(ts_state.gaussians, cams_v, jnp.zeros(3), rcfg).rgb[0]
+        p = dirs.path("save", f"it{i}-0_rgb.png")
+        # async native writer keeps the train loop moving
+        if not native_io.write_png_async(p, np.asarray(img)):
+            save_image(p, img)
 
     def log(i, m):
         import gaussianip_tpu as gt
@@ -186,7 +199,8 @@ def run_stage1(cfg, dirs, args):
                       sk.points3d, jax.random.PRNGKey(cfg.get("seed", 42)),
                       n_steps=n_steps, log_fn=log,
                       log_every=int(cfg["trainer"].get("log_every_n_steps",
-                                                       100)))
+                                                       100)),
+                      val_every=val_every, val_fn=save_val)
 
     # render + save the 32 refine views (before_refine handoff)
     n_views = int(sys_cfg.get("refine_n_views", 32))
@@ -252,23 +266,46 @@ def run_stage2(cfg, dirs, args):
         control = jax.image.resize(control, (32, 64, 64, 3), "linear")
         ip_tok = np.zeros((4, 32), np.float32)
     else:
+        import jax.numpy as jnp
+        from gaussianip_tpu.diffusion import weights as W
+        from gaussianip_tpu.diffusion.ip_adapter import ProjPlusModel
+        from gaussianip_tpu.guidance.ipa import compute_image_embeds
+
         g_cfg = sys_cfg["guidance"]
         gm = pl.load_real_models(g_cfg)
         models = RefineModels(*gm)
         enc = pl.load_text_encoder(
             g_cfg["pretrained_realistic_model_name_or_path"])
-        raise NotImplementedError(
-            "full-weights stage 2 requires the identity-token plumbing wired "
-            "in run_full_refine (coming with checkpoint availability)")
+        # identity tokens: refine uses the positive face for the cond row and
+        # the zero-face embedding for the uncond row (reference:
+        # ip_adapter_faceid.py get_image_embeds + refine_with_small_noise)
+        img_enc = pl.load_image_encoder(g_cfg["image_encoder_faceid_path"])
+        (pos_e, pos_face), _ = pl.face_identity(
+            g_cfg["pil_image_faceid_path"], g_cfg["irr_pil_image_path"])
+        proj = ProjPlusModel()
+        ipa_full = W.load_torch_state_dict(g_cfg["ip_ckpt_faceid_v2_path"])
+        proj_params = W.convert_proj_plus(
+            {k: np.asarray(v) for k, v in ipa_full["image_proj"].items()})
+        emb = compute_image_embeds(
+            proj, proj_params, jnp.asarray(pos_e),
+            jnp.zeros_like(jnp.asarray(pos_e)),
+            jnp.asarray(img_enc(pos_face)),
+            jnp.asarray(img_enc(np.zeros_like(pos_face))),
+            jnp.asarray(img_enc(np.zeros_like(pos_face))),
+            s_scale=0.5, shortcut=True,  # refine scale/s_scale (refine.py:784)
+        )
+        ip_cond = np.asarray(emb.pos[0])
+        ip_uncond = np.asarray(emb.neg[0])
 
     base = sys_cfg["prompt_processor"]["prompt"]
+    if args.stub_guidance:
+        ip_cond = ip_uncond = ip_tok
     contexts = {}
     for name in VIEW_NAME_ALL:
         suffix = PROMPT_SUFFIX.get(name, "")
-        pos = enc([base + suffix])[0]
-        neg = enc([REFINE_NEGATIVE_PROMPT])[0]
-        pos = np.concatenate([pos, ip_tok], axis=0)
-        neg = np.concatenate([neg, ip_tok], axis=0)
+        pos = np.concatenate([enc([base + suffix])[0], ip_cond], axis=0)
+        neg = np.concatenate([enc([REFINE_NEGATIVE_PROMPT])[0], ip_uncond],
+                             axis=0)
         contexts[name] = jnp.asarray(np.stack([neg, pos]))
 
     refined = refine_views(models, images, control, contexts,
