@@ -134,51 +134,36 @@ def main():
 
     @jax.jit
     def fwdbwd2_k(state):
-        carry = jnp.float32(0.0)
+        # single iteration: the K-chain compile at this shape overruns the
+        # bench budget; RPC overhead dominates less at ~100ms scale anyway
         off = jnp.zeros((b2, n, 2))
-        for _ in range(K):
-            st = state.replace(opacity=state.opacity + carry * 1e-12)
-            g = jax.grad(loss2, argnums=(0, 1), allow_int=True)(st, off)
-            carry = jnp.sum(g[1]) + jnp.sum(g[0].xyz)
-        return carry
+        g = jax.grad(loss2, argnums=(0, 1), allow_int=True)(state, off)
+        return jnp.sum(g[1]) + jnp.sum(g[0].xyz)
 
     if time_left() > 150:
         try:
-            t_fb2 = max(timeit(fwdbwd2_k, state) - t_rpc, 1e-9) / K
+            t_fb2 = max(timeit(fwdbwd2_k, state, reps=5) - t_rpc, 1e-9)
             extras["train_step_render_512_b4_ms"] = round(t_fb2 * 1000, 2)
         except Exception as e:
             extras["train_step_render_512_b4_error"] = str(e)[:80]
 
-    # UNet+ControlNet denoise rate at the stage-1 workload: 3-way CFG x
-    # batch 4 = 12 latents of 64^2x4, bf16, SD1.5 architecture
-    if time_left() > 180:
+    # UNet+ControlNet denoise rate: run in a subprocess with its own
+    # timeout so the big SD1.5 compile cannot blow this benchmark's budget
+    if time_left() > 90:
+        import subprocess
+        import sys
+
         try:
-            from gaussianip_tpu.diffusion.unet import (
-                ControlNetModel, UNet2DConditionModel, UNetConfig)
-
-            ucfg = UNetConfig(lora_rank=128, ip_tokens=4, dtype=jnp.bfloat16)
-            unet = UNet2DConditionModel(ucfg)
-            cn = ControlNetModel(ucfg)
-            key = jax.random.PRNGKey(0)
-            lat = jnp.zeros((12, 64, 64, 4), jnp.bfloat16)
-            ts_ = jnp.full((12,), 500, jnp.int32)
-            ctx = jnp.zeros((12, 81, 768), jnp.bfloat16)
-            cimg = jnp.zeros((12, 512, 512, 3), jnp.bfloat16)
-            uparams = jax.jit(unet.init)(key, lat, ts_, ctx)
-            cparams = jax.jit(cn.init)(key, lat, ts_, ctx, cimg)
-
-            @jax.jit
-            def denoise_1(lat):
-                # single step; RPC overhead subtracted
-                dr, mid = cn.apply(cparams, lat, ts_, ctx, cimg)
-                eps, _ = unet.apply(uparams, lat, ts_, ctx,
-                                    down_block_residuals=dr,
-                                    mid_block_residual=mid)
-                return jnp.sum(eps.astype(jnp.float32))
-
-            t_unet = max(timeit(denoise_1, lat, reps=5) - t_rpc, 1e-9)
-            extras["unet_denoise_steps_per_s"] = round(1.0 / t_unet, 2)
-            extras["unet_denoise_ms"] = round(t_unet * 1000, 2)
+            r = subprocess.run(
+                [sys.executable, "bench_unet.py"], capture_output=True,
+                text=True, timeout=max(time_left() - 20, 60),
+            )
+            for line in reversed(r.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    extras.update(json.loads(line))
+                    break
+        except subprocess.TimeoutExpired:
+            extras["unet_denoise_error"] = "timeout"
         except Exception as e:
             extras["unet_denoise_error"] = str(e)[:80]
 

@@ -1,0 +1,63 @@
+"""Standalone UNet+ControlNet denoise-rate benchmark (stage-1 workload:
+3-way CFG x batch 4 = 12 latents of 64^2 x 4, bf16, SD1.5 architecture).
+Run by bench.py in a subprocess so its large compile cannot blow the main
+benchmark's budget. Prints one JSON line."""
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        os.makedirs(".jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from gaussianip_tpu.diffusion.unet import (
+        ControlNetModel, UNet2DConditionModel, UNetConfig)
+
+    ucfg = UNetConfig(lora_rank=128, ip_tokens=4, dtype=jnp.bfloat16)
+    unet = UNet2DConditionModel(ucfg)
+    cn = ControlNetModel(ucfg)
+    key = jax.random.PRNGKey(0)
+    lat = jnp.zeros((12, 64, 64, 4), jnp.bfloat16)
+    ts_ = jnp.full((12,), 500, jnp.int32)
+    ctx = jnp.zeros((12, 81, 768), jnp.bfloat16)
+    cimg = jnp.zeros((12, 512, 512, 3), jnp.bfloat16)
+    uparams = jax.jit(unet.init)(key, lat, ts_, ctx)
+    cparams = jax.jit(cn.init)(key, lat, ts_, ctx, cimg)
+
+    @jax.jit
+    def denoise_1(lat):
+        dr, mid = cn.apply(cparams, lat, ts_, ctx, cimg)
+        eps, _ = unet.apply(uparams, lat, ts_, ctx,
+                            down_block_residuals=dr, mid_block_residual=mid)
+        return jnp.sum(eps.astype(jnp.float32))
+
+    @jax.jit
+    def trivial(lat):
+        return jnp.sum(lat.astype(jnp.float32))
+
+    def timeit(f, reps=5):
+        float(f(lat))
+        ts0 = []
+        for _ in range(reps):
+            t0 = time.time()
+            float(f(lat))
+            ts0.append(time.time() - t0)
+        return min(ts0)
+
+    t_rpc = timeit(trivial)
+    t = max(timeit(denoise_1) - t_rpc, 1e-9)
+    print(json.dumps({"unet_denoise_steps_per_s": round(1.0 / t, 2),
+                      "unet_denoise_ms": round(t * 1000, 2)}))
+
+
+if __name__ == "__main__":
+    main()

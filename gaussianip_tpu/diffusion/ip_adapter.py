@@ -131,3 +131,50 @@ class ProjPlusModel(nn.Module):
         if shortcut:
             out = x + scale * out
         return out
+
+
+class Resampler(nn.Module):
+    """Generic perceiver resampler for the non-FaceID IP-Adapter-Plus
+    variants (reference: ip_adapter/resampler.py:81-140 and IPAdapterPlus
+    init_proj, ip_adapter.py:287-300): learned latent queries attend over the
+    CLIP penultimate hidden states, depth x (PerceiverAttention + FF)."""
+    dim: int = 768
+    depth: int = 4
+    dim_head: int = 64
+    heads: int = 12
+    num_queries: int = 16
+    embedding_dim: int = 1280
+    output_dim: int = 768
+    ff_mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, S, embedding_dim] -> [B, num_queries, output_dim]."""
+        b = x.shape[0]
+        latents = self.param(
+            "latents",
+            lambda k, s: jax.random.normal(k, s) / (self.dim ** 0.5),
+            (1, self.num_queries, self.dim),
+        )
+        latents = jnp.broadcast_to(latents, (b,) + latents.shape[1:])
+        x = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(x)
+        for i in range(self.depth):
+            latents = PerceiverAttention(
+                self.dim, self.dim_head, self.heads, dtype=self.dtype,
+                name=f"attn_{i}",
+            )(x, latents) + latents
+            latents = ResamplerFF(self.dim, self.ff_mult, dtype=self.dtype,
+                                  name=f"ff_{i}")(latents) + latents
+        latents = nn.Dense(self.output_dim, dtype=self.dtype,
+                           name="proj_out")(latents)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            name="norm_out")(latents)
+
+
+def ipa_plus_image_embeds(resampler, params, clip_hidden, zero_clip_hidden):
+    """Non-FaceID IPAdapterPlus embed pair: (cond tokens, uncond tokens)
+    (reference: ip_adapter.py:302-313)."""
+    pos = resampler.apply(params, clip_hidden)
+    neg = resampler.apply(params, zero_clip_hidden)
+    return pos, neg

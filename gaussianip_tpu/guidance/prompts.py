@@ -155,3 +155,50 @@ def fake_text_encoder(seq_len: int = 77, dim: int = 768):
         return np.stack(out)
 
     return encode
+
+
+# classic 4-direction table (view_dependent_prompt_front mode, used by the
+# non-FaceID path; reference: base.py:223-251)
+def _classic_directions(head_offset: float):
+    return [
+        ("side", lambda s: f"side view of {s}",
+         lambda e, a, c, v, d: ((a > -45) & (a < 60)) | (a < -135) | (a > 120)),
+        ("front", lambda s: f"front view of {s}",
+         lambda e, a, c, v, d: (a > 60) & (a < 120)),
+        ("back", lambda s: f"backside view of {s}",
+         lambda e, a, c, v, d: (a > -135) & (a < -45)),
+        ("overhead", lambda s: f"overhead view of {s}",
+         lambda e, a, c, v, d: (c == head_offset) & (a > 0)),
+    ]
+
+
+def classic_direction_index(elevation, azimuth, center_z, camera_distances,
+                            head_offset: float = 0.65):
+    idx = jnp.zeros_like(azimuth, dtype=jnp.int32)
+    for i, (_, _, cond) in enumerate(_classic_directions(head_offset)):
+        m = cond(elevation, azimuth, center_z, None, camera_distances)
+        idx = jnp.where(m, i, idx)
+    return idx
+
+
+def preprocess_prompt(prompt: str, library_path: str = "load/prompt_library.json",
+                      section: str = "dreamfusion") -> str:
+    """'lib:kw1_kw2' prompt-library lookup (reference: base.py:451-470):
+    every keyword must appear; exactly one match required."""
+    if not prompt.startswith("lib:"):
+        return prompt
+    import json
+
+    with open(library_path) as f:
+        library = json.load(f)
+    keywords = prompt[4:].lower().split("_")
+    candidate = None
+    for p in library[section]:
+        if all(k in p.lower() for k in keywords):
+            if candidate is not None:
+                raise ValueError(
+                    f"multiple prompts match keywords {keywords} in library")
+            candidate = p
+    if candidate is None:
+        raise ValueError(f"no prompt with keywords {keywords} in library")
+    return candidate

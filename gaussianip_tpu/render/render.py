@@ -167,3 +167,24 @@ def render(
     bgc = jnp.asarray(bg_color, jnp.float32)
     rgb = rgb + bgc[None, None, None, :] * (1.0 - alpha[..., None])
     return RenderOutput(rgb, depth, alpha, proj.radius, binning.n_dropped)
+
+
+def render_deformed(
+    gaussians,
+    xyz,
+    rotation,
+    cameras,
+    bg_color,
+    cfg: RenderConfig = RenderConfig(),
+    **kw,
+):
+    """Render with explicit overridden positions/rotations (the animation /
+    avatar deformation path; reference:
+    gaussiansplatting/gaussian_renderer/__init__.py:195-265 render_deformed).
+    Other attributes come from `gaussians`."""
+    n = gaussians.capacity
+    g = gaussians.replace(
+        xyz=gaussians.xyz.at[: xyz.shape[0]].set(xyz),
+        rotation=gaussians.rotation.at[: rotation.shape[0]].set(rotation),
+    )
+    return render(g, cameras, bg_color, cfg, **kw)

@@ -120,3 +120,36 @@ def test_compute_image_embeds(rng):
     assert out.pos.shape == (1, 4, 64)
     assert float(jnp.abs(out.pos - out.null).max()) > 0
     assert float(jnp.abs(out.pos - out.neg).max()) > 0
+
+
+def test_resampler_plus(rng):
+    from gaussianip_tpu.diffusion.ip_adapter import Resampler
+
+    r = Resampler(dim=32, depth=2, dim_head=8, heads=4, num_queries=16,
+                  embedding_dim=24, output_dim=32)
+    x = jnp.asarray(rng.normal(size=(2, 9, 24)).astype(np.float32))
+    params = r.init(jax.random.PRNGKey(0), x)
+    out = r.apply(params, x)
+    assert out.shape == (2, 16, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_classic_direction_and_prompt_library(tmp_path):
+    from gaussianip_tpu.guidance.prompts import (
+        classic_direction_index, preprocess_prompt)
+    import json
+
+    azi = jnp.array([90.0, -90.0, 10.0, 30.0])
+    cz = jnp.array([0.0, 0.0, 0.0, 0.65])
+    idx = np.asarray(classic_direction_index(
+        jnp.zeros(4), azi, cz, jnp.full((4,), 1.5)))
+    assert list(idx) == [1, 2, 0, 3]  # front, back, side, overhead
+
+    lib = tmp_path / "lib.json"
+    lib.write_text(json.dumps({"dreamfusion": [
+        "a zoomed out DSLR photo of a corgi", "a photo of a cat"]}))
+    assert preprocess_prompt("lib:corgi", str(lib)).endswith("corgi")
+    assert preprocess_prompt("plain prompt", str(lib)) == "plain prompt"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        preprocess_prompt("lib:photo", str(lib))  # ambiguous
