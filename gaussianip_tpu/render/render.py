@@ -52,10 +52,13 @@ def _resolve_backend(cfg: RenderConfig) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "reference"
 
 
-def _auto_icap(n: int, d_max: int, chunk: int) -> int:
-    # instance traffic scales with icap; ~4-6 duplicates/gaussian is typical
-    # for trained scenes at 16px tiles (overflow is reported in n_dropped)
-    icap = min(n * d_max, max(6 * n, 1 << 17))
+def _auto_icap(n: int, d_max: int, chunk: int, h: int, w: int) -> int:
+    # instance traffic scales with icap; ~4 duplicates/gaussian measured for
+    # trained scenes at 16px tiles and 1024^2 — footprint area (hence
+    # duplicate count) scales with resolution^2 (overflow is reported in
+    # n_dropped)
+    res_scale = max((h * w) / float(1024 * 1024), 0.05)
+    icap = min(n * d_max, max(int(6 * n * res_scale), 2 * n, 1 << 17))
     return -(-icap // chunk) * chunk
 
 
@@ -109,7 +112,7 @@ def render(
     tile = cfg.tile
     ntx = -(-w // tile)
     nty = -(-h // tile)
-    icap = cfg.icap or _auto_icap(n, cfg.d_max, cfg.chunk)
+    icap = cfg.icap or _auto_icap(n, cfg.d_max, cfg.chunk, h, w)
 
     binning = jax.vmap(
         lambda m, r, z, v: bin_instances(
