@@ -30,8 +30,20 @@ def main():
     ts_ = jnp.full((12,), 500, jnp.int32)
     ctx = jnp.zeros((12, 81, 768), jnp.bfloat16)
     cimg = jnp.zeros((12, 512, 512, 3), jnp.bfloat16)
-    uparams = jax.jit(unet.init)(key, lat, ts_, ctx)
-    cparams = jax.jit(cn.init)(key, lat, ts_, ctx, cimg)
+    # initialize on host CPU (jit-init of the 860M-param graph through the
+    # remote-compile tunnel takes many minutes), then ship to the TPU
+    import sys
+    t0 = time.time()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        uparams = unet.init(key, lat, ts_, ctx)
+        cparams = cn.init(key, lat, ts_, ctx, cimg)
+    print(f"init(cpu): {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+    t0 = time.time()
+    uparams = jax.device_put(uparams)
+    cparams = jax.device_put(cparams)
+    jax.block_until_ready((uparams, cparams))
+    print(f"device_put: {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
     @jax.jit
     def denoise_1(lat):

@@ -66,6 +66,11 @@ class Stage1Config:
     max_grad: float = 2e-4
     cameras_extent: float = 4.0
     max_steps: int = struct.field(pytree_node=False, default=2400)
+    # exclude gaussians near the hands from densification stats
+    # (reference: GaussianIP.py:214-219)
+    disable_hand_densification: bool = struct.field(
+        pytree_node=False, default=False)
+    hand_radius: float = 0.05
 
 
 class TrainState(NamedTuple):
@@ -92,6 +97,7 @@ def make_train_step(
     guidance: Callable,
     skel_points3d,
     mesh=None,
+    hand_centers=None,  # [2, 3] wrist keypoints (disable_hand_densification)
 ):
     """Build the jitted stage-1 step. `guidance(step, key, rgb, control, aux)
     -> {'loss_sds': scalar, ...}` must be differentiable in rgb.
@@ -167,6 +173,11 @@ def make_train_step(
         # densification statistics (reference: GaussianIP.py:450-457)
         radii = jnp.max(aux["radii"], axis=0)
         visibility = jnp.any(aux["radii"] > 0, axis=0)
+        if cfg.disable_hand_densification and hand_centers is not None:
+            hc = jnp.asarray(hand_centers)
+            dist = jnp.linalg.norm(
+                ts.gaussians.xyz[:, None, :] - hc[None, :, :], axis=-1)
+            visibility = visibility & ~(jnp.min(dist, axis=-1) < cfg.hand_radius)
         stats = add_stats(ts.stats, jnp.sum(g_off, axis=0), radii, visibility)
 
         grads = {
