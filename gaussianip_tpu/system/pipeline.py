@@ -77,7 +77,13 @@ def load_real_models(cfg_guidance: dict, dtype=jnp.bfloat16) -> GuidanceModels:
     csd = find_sd(cfg_guidance["pose_controlnet_path"], "diffusion_pytorch_model")
     cn_params = W.convert_controlnet(csd)
 
-    return GuidanceModels(unet, unet_params, cn, cn_params, vae, vae_params)
+    # commit params to the accelerator EXPLICITLY: numpy/CPU-committed trees
+    # passed to jitted fns get re-shipped host->device on every call
+    dev = jax.devices()[0]
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda a: jax.device_put(jnp.asarray(a, dtype), dev), t)
+    return GuidanceModels(unet, cast(unet_params), cn, cast(cn_params),
+                          vae, cast(vae_params))
 
 
 def load_text_encoder(model_path: str):
