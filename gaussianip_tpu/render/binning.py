@@ -94,6 +94,8 @@ def bin_instances(
     ).reshape(-1)
 
     # sort-compaction: one stable sort; live instances form the prefix
+    # (measured: a cumsum+scatter pre-compaction is SLOWER than letting
+    # XLA's sort handle the full N * D_MAX array)
     keys_s, gidx_s = jax.lax.sort((key, gidx), num_keys=1)
     n_live = jnp.sum(inst_ok.astype(jnp.int32))
     keys_c = keys_s[:icap]
