@@ -71,6 +71,22 @@ def bin_instances(
     tmin_x, tmin_y, tmax_x, tmax_y = tile_rect(
         mean2d, radius, tile, n_tiles_x, n_tiles_y
     )
+    # footprints larger than the D_MAX budget are clamped to a CENTERED
+    # side x side tile window around the mean (symmetric truncation: the
+    # gaussian's core renders, only far tails are cut)
+    side = max(int(d_max ** 0.5), 1)
+    cx = jnp.clip((mean2d[:, 0] / tile).astype(jnp.int32), 0, n_tiles_x - 1)
+    cy = jnp.clip((mean2d[:, 1] / tile).astype(jnp.int32), 0, n_tiles_y - 1)
+    w0 = tmax_x - tmin_x
+    h0 = tmax_y - tmin_y
+    big_x = w0 > side
+    big_y = h0 > side
+    tmin_x = jnp.where(
+        big_x, jnp.clip(cx - side // 2, 0, max(n_tiles_x - side, 0)), tmin_x)
+    tmax_x = jnp.where(big_x, jnp.minimum(tmin_x + side, n_tiles_x), tmax_x)
+    tmin_y = jnp.where(
+        big_y, jnp.clip(cy - side // 2, 0, max(n_tiles_y - side, 0)), tmin_y)
+    tmax_y = jnp.where(big_y, jnp.minimum(tmin_y + side, n_tiles_y), tmax_y)
     w = tmax_x - tmin_x
     h = tmax_y - tmin_y
     count = jnp.where(valid, w * h, 0)

@@ -32,7 +32,7 @@ from .preprocess import gaussian_power_coeffs, project_gaussians
 class RenderConfig:
     tile: int = struct.field(pytree_node=False, default=16)
     chunk: int = struct.field(pytree_node=False, default=128)
-    d_max: int = struct.field(pytree_node=False, default=9)
+    d_max: int = struct.field(pytree_node=False, default=25)
     icap: int = struct.field(pytree_node=False, default=0)  # 0 = auto
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
@@ -58,7 +58,7 @@ def _auto_icap(n: int, d_max: int, chunk: int, h: int, w: int) -> int:
     # duplicate count) scales with resolution^2 (overflow is reported in
     # n_dropped)
     res_scale = max((h * w) / float(1024 * 1024), 0.05)
-    icap = min(n * d_max, max(int(6 * n * res_scale), 2 * n, 1 << 17))
+    icap = min(n * d_max, max(int(8 * n * res_scale), 2 * n, 1 << 17))
     return -(-icap // chunk) * chunk
 
 

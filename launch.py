@@ -172,7 +172,9 @@ def run_stage1(cfg, dirs, args):
             ),
         )
 
-    rcfg = RenderConfig()
+    # 512^2 training renders: footprints fit a 4x4-tile budget (radii halve
+    # vs 1024^2); eval/refine/stage3 use the exact default d_max=25
+    rcfg = RenderConfig(d_max=16)
     n_steps = args.max_steps or s1.max_steps
     t0 = time.time()
     val_every = int(cfg["trainer"].get("val_check_interval", 100))
