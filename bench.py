@@ -128,8 +128,11 @@ def main():
                        jnp.tile(jnp.array([[0.0, 0, 1]]), (b2, 1)))
     cams2 = jax.vmap(lambda m: camera_from_c2w(m, jnp.float32(1.0), res2, res2))(c2w2)
 
+    # stage-1 recipe uses d_max=16 at 512^2 (exact at that scale; launch.py)
+    cfg2 = RenderConfig(d_max=16)
+
     def loss2(st, off):
-        out = render(st, cams2, bg, cfg, mean2d_offset=off)
+        out = render(st, cams2, bg, cfg2, mean2d_offset=off)
         return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha)
 
     @jax.jit
