@@ -191,11 +191,16 @@ def run_stage1(cfg, dirs, args):
         if not native_io.write_png_async(p, np.asarray(img)):
             save_image(p, img)
 
+    from gaussianip_tpu.utils.logging import MetricsLogger
+
+    mlog = MetricsLogger(dirs.root)
+
     def log(i, m):
         import gaussianip_tpu as gt
 
         gt.info(f"step {i}: loss={m['loss']:.4f} sds={m['loss_sds']:.4f} "
                 f"n={int(m['n_active'])} ({time.time() - t0:.0f}s)")
+        mlog.log(i, m)
 
     ts = train_stage1(ts, s1, cam_cfg, rcfg, AdamHyper(), guidance,
                       sk.points3d, jax.random.PRNGKey(cfg.get("seed", 42)),
@@ -366,10 +371,17 @@ def run_stage3(cfg, dirs, args):
     )
     lpips_fn = None  # LPIPS weights load here when available
     t0 = time.time()
+    from gaussianip_tpu.utils.logging import MetricsLogger
+
+    mlog = MetricsLogger(dirs.root)
+
+    def s3log(i, m):
+        gt.info(f"s3 step {i}: loss={m['loss']:.4f}")
+        mlog.log(i + s3.refine_start_step, m)
+
     ts = train_stage3(ts, s3, RenderConfig(), AdamHyper(), orbit, refined,
                       jax.random.PRNGKey(7), lpips_fn=lpips_fn,
-                      log_fn=lambda i, m: gt.info(
-                          f"s3 step {i}: loss={m['loss']:.4f}"))
+                      log_fn=s3log)
 
     # test orbit video + final ply
     cam_cfg = CameraSamplerConfig(
