@@ -105,17 +105,19 @@ def bin_instances(
     key = jnp.where(
         inst_ok, (tile_id << rank_bits) | rank[:, None], sentinel_key
     ).reshape(-1)
-    gidx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, d_max)
-    ).reshape(-1)
 
-    # sort-compaction: one stable sort; live instances form the prefix
-    # (measured: a cumsum+scatter pre-compaction is SLOWER than letting
-    # XLA's sort handle the full N * D_MAX array)
-    keys_s, gidx_s = jax.lax.sort((key, gidx), num_keys=1)
+    # sort-compaction: one KEY-ONLY sort (the gaussian id is recoverable from
+    # the embedded depth rank via the argsort order — no value array to carry
+    # through the sort); live instances form the prefix. (Measured: a
+    # cumsum+scatter pre-compaction is SLOWER than XLA's sort.)
+    keys_s = jax.lax.sort(key)
     n_live = jnp.sum(inst_ok.astype(jnp.int32))
     keys_c = keys_s[:icap]
-    gidx_c = gidx_s[:icap]
+    rank_mask = (1 << rank_bits) - 1
+    live_key = keys_c != sentinel_key
+    order32 = order.astype(jnp.int32)
+    gidx_c = jnp.where(
+        live_key, order32[jnp.minimum(keys_c & rank_mask, n - 1)], n)
     tile_sorted = (keys_c >> rank_bits).astype(jnp.int32)
 
     tile_ids = jnp.arange(nt, dtype=jnp.int32)
