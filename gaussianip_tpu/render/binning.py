@@ -110,6 +110,9 @@ def bin_instances(
     # the embedded depth rank via the argsort order — no value array to carry
     # through the sort); live instances form the prefix. (Measured: a
     # cumsum+scatter pre-compaction is SLOWER than XLA's sort.)
+    if key.shape[0] < icap:  # capacity exceeds the instance universe
+        key = jnp.pad(key, (0, icap - key.shape[0]),
+                      constant_values=sentinel_key)
     keys_s = jax.lax.sort(key)
     n_live = jnp.sum(inst_ok.astype(jnp.int32))
     keys_c = keys_s[:icap]
