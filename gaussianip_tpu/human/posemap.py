@@ -11,6 +11,7 @@ grid that fuses into the jitted train step.
 
 from __future__ import annotations
 
+import colorsys
 import functools
 
 import jax
@@ -102,3 +103,102 @@ def openpose_draw(points3d, mvp, azimuth_deg, head_zoom, height: int, width: int
 
     all_vis = jnp.all(mask).astype(jnp.float32)
     return canvas, all_vis, jnp.stack([xs, ys], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# humansd variant (reference: poser.py:906-945 + draw_humansd_skeleton at
+# poser.py:502-543): 17 COCO keypoints, 16 thick limb lines in an HLS palette,
+# endpoint dots, painter's-order overwrite (no alpha blending).
+
+# COCO-17 selected from the stored OpenPose-18 keypoints (the reference maps
+# SMPL-X joints straight to COCO via joint_mapper_smplx_to_humansd17,
+# poser.py:569-590 — identical joint set, neck dropped)
+_HUMANSD17_FROM_OP18 = np.array(
+    [0, 15, 14, 17, 16, 5, 2, 6, 3, 7, 4, 11, 8, 12, 9, 13, 10], np.int32
+)
+
+# [idx, a, b] edges (reference: poser.py:503-520)
+_HUMANSD_EDGES = np.array([
+    [1, 0, 1], [0, 0, 2], [3, 1, 3], [2, 2, 4], [5, 3, 5], [4, 4, 6],
+    [7, 5, 7], [6, 6, 8], [9, 7, 9], [8, 8, 10], [11, 5, 11], [10, 6, 12],
+    [13, 11, 13], [12, 12, 14], [15, 13, 15], [14, 14, 16],
+], np.int32)
+
+
+def _hls_palette(n: int):
+    """seaborn.color_palette("hls", n) (reference: poser.py:522): evenly
+    spaced hues offset by 0.01, lightness 0.6, saturation 0.65."""
+    hues = (np.linspace(0, 1, n + 1)[:-1] + 0.01) % 1.0
+    return np.array([colorsys.hls_to_rgb(h, 0.6, 0.65) for h in hues],
+                    np.float32)
+
+
+_HUMANSD_COLORS = jnp.asarray(
+    np.floor(_hls_palette(len(_HUMANSD_EDGES)) * 255.0) / 255.0
+)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width",
+                                              "enable_occlusion"))
+def humansd_draw(points3d, mvp, height: int, width: int,
+                 enable_occlusion: bool = False):
+    """HumanSD-style COCO-17 skeleton map (reference: poser.py:906-945).
+
+    points3d: [18, 3] OpenPose-18 world keypoints (the COCO subset is
+    selected internally); mvp: [4, 4]. Returns (canvas [H, W, 3] float,
+    kp [1, 17, 3] (x, y, conf)). NOTE: the reference scales x by H and y by
+    W (poser.py:911-912) — replicated verbatim; identical for square maps.
+    """
+    pts18_h = jnp.concatenate(
+        [points3d, jnp.ones_like(points3d[:, :1])], axis=1)
+    pts = (pts18_h @ mvp.T)[_HUMANSD17_FROM_OP18]
+    ndc = pts[:, :3] / pts[:, 3:]
+    xs = (ndc[:, 0] + 1) / 2 * height
+    ys = (ndc[:, 1] + 1) / 2 * width
+
+    conf = jnp.ones((17,), jnp.float32)
+    if enable_occlusion:
+        z = ndc[:, 2]
+        left_view = (z[0] > z[3]) & (z[0] < z[4])
+        right_view = (~left_view) & (z[0] < z[3]) & (z[0] > z[4])
+        back_view = (~left_view) & (~right_view) & (z[0] > z[3]) & (z[0] > z[4])
+        conf = conf.at[4].set(jnp.where(left_view, 0.0, conf[4]))
+        conf = conf.at[2].set(
+            jnp.where(left_view & (xs[2] > xs[1]), 0.0, conf[2]))
+        conf = conf.at[3].set(jnp.where(right_view, 0.0, conf[3]))
+        conf = conf.at[1].set(
+            jnp.where(right_view & (xs[1] < xs[2]), 0.0, conf[1]))
+        for i in (0, 1, 2):
+            conf = conf.at[i].set(jnp.where(back_view, 0.0, conf[i]))
+
+    w_line = int(10 * height / 512)
+    px = jnp.arange(width, dtype=jnp.float32)[None, :]
+    py = jnp.arange(height, dtype=jnp.float32)[:, None]
+    canvas = jnp.zeros((height, width, 3), jnp.float32)
+
+    # integer-cast endpoints (cv2 semantics, poser.py:528-530)
+    ix = jnp.floor(xs)
+    iy = jnp.floor(ys)
+    half = w_line / 2.0
+    rdot = float(w_line // 2)
+    for idx, a, b in _HUMANSD_EDGES:
+        idx, a, b = int(idx), int(a), int(b)
+        vis = (conf[a] > 0.3) & (conf[b] > 0.3)
+        ax, ay, bx, by = ix[a], iy[a], ix[b], iy[b]
+        # capsule of radius w/2 around segment ab (cv2 thick line + the two
+        # endpoint circles the reference draws at radius w//2)
+        dx, dy = bx - ax, by - ay
+        len2 = jnp.maximum(dx * dx + dy * dy, 1e-6)
+        t = jnp.clip(((px - ax) * dx + (py - ay) * dy) / len2, 0.0, 1.0)
+        qx = ax + t * dx
+        qy = ay + t * dy
+        d2 = (px - qx) ** 2 + (py - qy) ** 2
+        inside = (d2 <= half * half) & vis
+        dot = (((px - ax) ** 2 + (py - ay) ** 2) <= rdot * rdot) | (
+            ((px - bx) ** 2 + (py - by) ** 2) <= rdot * rdot)
+        inside = inside | (dot & vis)
+        canvas = jnp.where(inside[..., None], _HUMANSD_COLORS[idx], canvas)
+
+    kp = jnp.concatenate(
+        [jnp.stack([xs, ys], axis=1), conf[:, None]], axis=1)[None]
+    return canvas, kp

@@ -44,9 +44,27 @@ def save_image_grid(path: str, imgs, cols: Optional[int] = None):
 
 
 def save_video(path: str, frames, fps: int = 30):
-    """mp4 via imageio when an ffmpeg backend exists; .npy fallback."""
+    """Playable mp4 (the reference's animation deliverable,
+    reference: animation.py:643-645). Encoder order: OpenCV VideoWriter
+    (mp4v, no ffmpeg needed) -> imageio (ffmpeg backend) -> .npy stack."""
     video = np.stack([_to_uint8(f) for f in frames])
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    try:
+        import cv2
+
+        h, w = video.shape[1:3]
+        wr = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        if not wr.isOpened():
+            raise RuntimeError("VideoWriter failed to open")
+        for f in video:
+            wr.write(f[..., ::-1])  # RGB -> BGR
+        wr.release()
+        if os.path.getsize(path) > 0:
+            return path
+        raise RuntimeError("empty mp4")
+    except Exception:
+        pass
     try:
         import imageio
 

@@ -139,3 +139,26 @@ def test_openpose_head_zoom_mask(rng):
     )
     # head zoom hides most joints -> all_vis must be 0
     assert float(all_vis) == 0.0
+
+
+def test_humansd_draw(rng):
+    from gaussianip_tpu.human.posemap import humansd_draw
+
+    pts = rng.uniform(-0.3, 0.3, (18, 3)).astype(np.float32)
+    mvp = _front_mvp()
+    canvas, kp = humansd_draw(jnp.asarray(pts), mvp, 64, 64)
+    assert canvas.shape == (64, 64, 3)
+    assert kp.shape == (1, 17, 3)
+    assert float(canvas.max()) > 0.3  # limbs drawn
+    assert np.all(np.asarray(kp[0, :, 2]) == 1.0)  # no occlusion by default
+
+    # back view: nose behind both ears -> nose/eyes confidence zeroed
+    pts2 = pts.copy()
+    # ears (op18 idx 16, 17) in front of nose (idx 0) along the view dir (+x)
+    pts2[0, 0] = -0.5
+    pts2[16, 0] = 0.4
+    pts2[17, 0] = 0.4
+    _, kp2 = humansd_draw(jnp.asarray(pts2), mvp, 64, 64,
+                          enable_occlusion=True)
+    conf = np.asarray(kp2[0, :, 2])
+    assert conf[0] == 0.0 and conf[1] == 0.0 and conf[2] == 0.0
