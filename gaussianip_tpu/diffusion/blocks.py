@@ -207,7 +207,9 @@ class FeedForward(nn.Module):
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, name="geglu_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # exact (erf) GELU: diffusers GEGLU uses F.gelu's default, not the
+        # tanh approximation
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(h)
 
 

@@ -245,8 +245,11 @@ def convert_vae(sd: Dict, block_out_channels=(128, 256, 512, 512),
 
 
 def convert_controlnet(sd: Dict, block_out_channels=(320, 640, 1280, 1280),
-                       layers_per_block: int = 2):
+                       layers_per_block: int = 2,
+                       conditioning_embed_channels=(16, 32, 96, 256)):
     n = len(block_out_channels)
+    n_cond_blocks = 2 * (len(conditioning_embed_channels) - 1)
+    n_zero_convs = 1 + n * layers_per_block + (n - 1)
     params = {
         "time_embedding": {
             "linear_1": _dense(sd, "time_embedding.linear_1"),
@@ -260,7 +263,7 @@ def convert_controlnet(sd: Dict, block_out_channels=(320, 640, 1280, 1280),
         "mid_res_1": _resnet(sd, "mid_block.resnets.1"),
         "zero_conv_mid": _conv(sd, "controlnet_mid_block"),
     }
-    for i in range(6):
+    for i in range(n_cond_blocks):
         params[f"cond_conv_{i}"] = _conv(
             sd, f"controlnet_cond_embedding.blocks.{i}")
     zi = 0
@@ -274,7 +277,7 @@ def convert_controlnet(sd: Dict, block_out_channels=(320, 640, 1280, 1280),
         if bi < n - 1:
             params[f"down_{bi}_downsample"] = {
                 "conv": _conv(sd, f"down_blocks.{bi}.downsamplers.0.conv")}
-    for i in range(3 * n):
+    for i in range(n_zero_convs):
         params[f"zero_conv_{i}"] = _conv(sd, f"controlnet_down_blocks.{i}")
     return {"params": params}
 

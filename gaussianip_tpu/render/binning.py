@@ -2,24 +2,31 @@
 
 TPU-native replacement for the CUDA duplicate+radix-sort binning inside
 diff-gaussian-rasterization (consumed at reference:
-gaussiansplatting/gaussian_renderer/__init__.py:85-93). Differences by design:
+gaussiansplatting/gaussian_renderer/__init__.py:85-93). Design (v2):
 
-  * static shapes everywhere: each gaussian emits up to D_MAX instances
-    (its tile rect, row-major, truncated — footprints beyond D_MAX tiles are
-    clipped, which only affects gaussians larger than the reference's own
-    screen-size prune threshold);
-  * one single-key stable sort: key = tile_id << rank_bits | depth_rank,
-    where depth_rank comes from one cheap N-element argsort — instances land
-    grouped by tile, depth-ordered within each tile, and invalid slots
-    (sentinel keys) sink to the tail, so *compaction falls out of the sort*
-    (a slice), with no scatter;
-  * segments are then scattered once into a CHUNK-aligned layout so the
-    Pallas compositor's DMAs are lane-aligned and forward/backward chunk
-    windows of different tiles never overlap (race-free backward writes).
+  * two-tier duplication keeps the sort small: every gaussian gets
+    INLINE (=4) instance slots (median footprint is 2 tiles); footprints
+    beyond that draw contiguous slots from a shared overflow POOL sized by
+    resolution (pool exhaustion is counted in n_dropped, and footprints are
+    first clamped to a centered d_max-tile window like v1). The sort
+    universe is 4N + pool instead of N * d_max (~4x fewer keys at 1024^2);
+  * ONE stable key+value sort: key = tile_id << rank_bits | depth_rank
+    (rank from one cheap N argsort), value = emission index. Instances land
+    grouped by tile, depth-ordered within the tile, invalid slots sink to
+    the tail — compaction falls out of the sort;
+  * segments stay UNALIGNED (no chunk re-layout scatter): the Pallas
+    compositor reads lane-aligned supersets of each segment and masks the
+    head rows (composite_pallas.py);
+  * the sorted emission values give (a) the gaussian id per instance with
+    one small gather and (b) `inv_em`, the emission->sorted-position inverse
+    used by the backward to reduce per-instance gradients to per-gaussian
+    gradients with GATHERS + reshape-sums instead of a giant scatter-add
+    (inline tier: reshape [N, 4] and sum; pool tier: contiguous per-gaussian
+    segments -> cumsum difference). `inv_em` is only materialized when
+    with_inv=True (training).
 
 Everything here is integer index work and runs under stop_gradient; the
-differentiable attribute gather happens in render.py (one wide packed gather
-— TPU gathers amortize over row width, not row count).
+differentiable attribute gather happens in render.py.
 """
 
 from __future__ import annotations
@@ -32,18 +39,29 @@ import jax.numpy as jnp
 
 from .preprocess import tile_rect
 
+INLINE = 4  # inline instance slots per gaussian (tier 1)
+
 
 class Binning(NamedTuple):
-    gidx: jnp.ndarray  # [IPAD] gaussian index per instance row (N = invalid)
-    tile_of: jnp.ndarray  # [IPAD] tile id per row (NT = invalid)
-    starts: jnp.ndarray  # [NT] CHUNK-aligned segment starts
+    gidx: jnp.ndarray  # [E] gaussian index per sorted instance (N = dead)
+    tile_of: jnp.ndarray  # [E] tile id per sorted instance (NT = dead)
+    starts: jnp.ndarray  # [NT] segment starts (UNALIGNED)
     counts: jnp.ndarray  # [NT] live instance counts per tile
-    n_dropped: jnp.ndarray  # int32: instances lost to icap overflow
+    n_dropped: jnp.ndarray  # int32: instances lost to pool overflow
+    inv_em: jnp.ndarray  # [E] emission->sorted position (E = dead); [0] if
+    #                      with_inv=False
+    pool_ofs: jnp.ndarray  # [N] exclusive cumsum of pool draws per gaussian
+    pool_len: jnp.ndarray  # [N] effective pool draws per gaussian
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(x - 1, 1).bit_length()
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile", "n_tiles_x", "n_tiles_y", "d_max", "icap", "chunk"),
+    static_argnames=("tile", "n_tiles_x", "n_tiles_y", "d_max", "pool",
+                     "chunk", "with_inv"),
 )
 def bin_instances(
     mean2d,
@@ -55,14 +73,16 @@ def bin_instances(
     n_tiles_x: int,
     n_tiles_y: int,
     d_max: int,
-    icap: int,
+    pool: int,
     chunk: int,
+    with_inv: bool = False,
 ):
     n = mean2d.shape[0]
     nt = n_tiles_x * n_tiles_y
+    e = INLINE * n + pool
     rank_bits = max(1, (n - 1).bit_length())
     assert (nt + 1) < (1 << (31 - rank_bits)), "tile/rank bits exceed int32"
-    assert icap % chunk == 0, "icap must be a multiple of chunk"
+    assert pool % chunk == 0, "pool must be a multiple of chunk"
     sentinel_key = jnp.int32(nt << rank_bits)
 
     mean2d = jax.lax.stop_gradient(mean2d)
@@ -94,61 +114,103 @@ def bin_instances(
 
     # global depth ranks (stable; invalid sink to the end)
     order = jnp.argsort(jnp.where(valid, depth, jnp.inf), stable=True)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
 
-    d = jnp.arange(d_max, dtype=jnp.int32)
+    # pool allocation: gaussian g draws extra_eff contiguous slots at
+    # pool_ofs (exclusive cumsum); exhausted pool truncates (counted)
+    extra = jnp.maximum(count - INLINE, 0)
+    pool_ofs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(extra)[:-1].astype(jnp.int32)])
+    extra_eff = jnp.clip(pool - pool_ofs, 0, extra)
+    n_dropped = jnp.sum(extra - extra_eff).astype(jnp.int32)
+    count_eff = jnp.minimum(count, INLINE) + extra_eff
+
     w_safe = jnp.maximum(w, 1)
-    dy = d[None, :] // w_safe[:, None]
-    dx = d[None, :] % w_safe[:, None]
-    tile_id = (tmin_y[:, None] + dy) * n_tiles_x + (tmin_x[:, None] + dx)  # [N, D]
-    inst_ok = d[None, :] < count[:, None]
-    key = jnp.where(
-        inst_ok, (tile_id << rank_bits) | rank[:, None], sentinel_key
+
+    def slot_tile(g_tmin_x, g_tmin_y, g_w, d):
+        dy = d // g_w
+        dx = d % g_w
+        return (g_tmin_y + dy) * n_tiles_x + (g_tmin_x + dx)
+
+    # tier 1: inline slots, [N, INLINE] broadcast (no gathers)
+    d_in = jnp.arange(INLINE, dtype=jnp.int32)
+    tile_in = slot_tile(tmin_x[:, None], tmin_y[:, None], w_safe[:, None],
+                        d_in[None, :])
+    ok_in = d_in[None, :] < jnp.minimum(count, INLINE)[:, None]
+    key_in = jnp.where(
+        ok_in, (tile_in << rank_bits) | rank[:, None], sentinel_key
     ).reshape(-1)
 
-    # sort-compaction: one KEY-ONLY sort (the gaussian id is recoverable from
-    # the embedded depth rank via the argsort order — no value array to carry
-    # through the sort); live instances form the prefix. (Measured: a
-    # cumsum+scatter pre-compaction is SLOWER than XLA's sort.)
-    if key.shape[0] < icap:  # capacity exceeds the instance universe
-        key = jnp.pad(key, (0, icap - key.shape[0]),
-                      constant_values=sentinel_key)
-    keys_s = jax.lax.sort(key)
-    n_live = jnp.sum(inst_ok.astype(jnp.int32))
-    keys_c = keys_s[:icap]
-    rank_mask = (1 << rank_bits) - 1
-    live_key = keys_c != sentinel_key
-    order32 = order.astype(jnp.int32)
-    gidx_c = jnp.where(
-        live_key, order32[jnp.minimum(keys_c & rank_mask, n - 1)], n)
+    # tier 2: pool slots. Segment id/start/end via mark-scatter + cummax
+    # (no per-slot gathers into [N] except the two packed tables below).
+    j = jnp.arange(pool, dtype=jnp.int32)
+    # unclipped offsets: gaussians whose segment starts beyond the pool drop
+    # out entirely (mode="drop") instead of corrupting the last slot
+    seg_start = jnp.zeros((pool,), jnp.int32).at[pool_ofs].max(
+        pool_ofs, mode="drop")
+    seg_start = jax.lax.cummax(seg_start)
+    seg_end = jnp.zeros((pool,), jnp.int32).at[pool_ofs].max(
+        pool_ofs + extra_eff, mode="drop")
+    seg_end = jax.lax.cummax(seg_end)
+    marks = jnp.zeros((pool,), jnp.int32).at[pool_ofs].add(1, mode="drop")
+    pool_g = jnp.cumsum(marks) - 1  # [pool] owning gaussian (may be stale
+    #                                 for dead slots; ok_pool masks those)
+    ok_pool = (j < seg_end) & (j >= seg_start) & (pool_g >= 0)
+    pg = jnp.clip(pool_g, 0, n - 1)
+    # packed per-gaussian tables -> ONE scalar gather each
+    table_a = tmin_x | (tmin_y << 8) | (w_safe << 16)  # 8+8+8 bits
+    a = table_a[pg]
+    rank_p = rank[pg]
+    d_pool = INLINE + (j - seg_start)
+    tile_p = slot_tile(a & 0xFF, (a >> 8) & 0xFF, (a >> 16) & 0xFF, d_pool)
+    key_pool = jnp.where(ok_pool, (tile_p << rank_bits) | rank_p,
+                         sentinel_key)
+
+    keys = jnp.concatenate([key_in, key_pool])
+    vals = jnp.arange(e, dtype=jnp.int32)
+    pad = _next_pow2(e) - e
+    if pad:
+        keys = jnp.pad(keys, (0, pad), constant_values=sentinel_key)
+        vals = jnp.pad(vals, (0, pad), constant_values=e)
+    keys_s, em_s = jax.lax.sort((keys, vals), num_keys=1)
+    keys_c = keys_s[:e]
+    em = em_s[:e]
+
     tile_sorted = (keys_c >> rank_bits).astype(jnp.int32)
+    live = keys_c != sentinel_key
+    em_c = jnp.minimum(em, e - 1)
+    gidx = jnp.where(
+        live,
+        jnp.where(em_c < INLINE * n, em_c // INLINE,
+                  pg[jnp.minimum(jnp.maximum(em_c - INLINE * n, 0),
+                                 pool - 1)]),
+        n,
+    )
 
     tile_ids = jnp.arange(nt, dtype=jnp.int32)
-    seg_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
-    seg_end = jnp.searchsorted(tile_sorted, tile_ids + 1, side="left").astype(
-        jnp.int32
-    )
-    counts = seg_end - seg_start
+    starts = jnp.searchsorted(
+        tile_sorted, tile_ids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(
+        tile_sorted, tile_ids + 1, side="left").astype(jnp.int32)
+    counts = ends - starts
 
-    # CHUNK-aligned re-layout (one int scatter pair)
-    aligned_sizes = ((counts + chunk - 1) // chunk) * chunk
-    aligned_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_sizes)[:-1].astype(jnp.int32)]
-    )
-    ipad = icap + nt * chunk
-    live_row = tile_sorted < nt
-    t_clip = jnp.minimum(tile_sorted, nt - 1)
-    within = jnp.arange(icap, dtype=jnp.int32) - seg_start[t_clip]
-    new_pos = jnp.where(live_row, aligned_starts[t_clip] + within, ipad)
-    gidx_a = jnp.full((ipad,), n, jnp.int32).at[new_pos].set(gidx_c, mode="drop")
-    tile_a = jnp.full((ipad,), nt, jnp.int32).at[new_pos].set(
-        tile_sorted, mode="drop"
-    )
+    if with_inv:
+        pos = jnp.arange(e, dtype=jnp.int32)
+        # unclipped em: out-of-range (pad) rows drop instead of clobbering
+        inv_em = jnp.full((e,), e, jnp.int32).at[em].set(
+            jnp.where(live, pos, e), mode="drop")
+    else:
+        inv_em = jnp.zeros((1,), jnp.int32)
 
     return Binning(
-        gidx=gidx_a,
-        tile_of=tile_a,
-        starts=aligned_starts,
+        gidx=gidx,
+        tile_of=jnp.where(live, tile_sorted, nt),
+        starts=starts,
         counts=counts,
-        n_dropped=jnp.maximum(n_live - icap, 0).astype(jnp.int32),
+        n_dropped=n_dropped,
+        inv_em=inv_em,
+        pool_ofs=pool_ofs,
+        pool_len=extra_eff,
     )

@@ -15,12 +15,19 @@ work onto TPU compute units instead of translating the CUDA kernel:
     instance loop;
   * output accumulation (rgb, alpha-weighted depth, alpha) is another MXU
     matmul: [8, CHUNK] instance features x [CHUNK, P] weights;
-  * per-tile instance segments are CHUNK-aligned and disjoint (see
-    binning.py), so the backward pass writes per-instance gradients with
-    no atomics and no races — the JAX-level gather transpose turns them
-    into per-gaussian gradients via XLA scatter-add;
-  * instance arrays are stored transposed [B, 8, IPAD] so every DMA slice is
-    lane-aligned (Mosaic requires 128-aligned slices on the minor dim).
+  * (v2) per-tile instance segments are UNALIGNED slices of the depth-sorted
+    compact instance array (binning.py does no chunk re-layout): the kernel
+    DMAs the lane-aligned superset window of each segment and masks the head
+    rows. Coefficients and features ride ONE [16, CHUNK] DMA per chunk,
+    double-buffered so the next chunk streams in while the current one is on
+    the MXU;
+  * (v2) the backward writes per-instance gradients back into the same
+    compact layout. A window's first chunk can be shared with the previous
+    tile's last chunk; since the TPU grid executes sequentially, the kernel
+    read-modify-writes that single boundary chunk (the owner of a chunk's
+    first row writes it fully; later tiles merge into it), so the writes
+    stay race-free without any aligned re-layout. The JAX-level reduction to
+    per-gaussian gradients happens via emission-order gathers (render.py).
 
 Semantics match the CUDA kernel: alpha capped at 0.99 (gradient NOT gated at
 the cap, matching the reference kernel's backward), alpha < 1/255 skipped,
@@ -36,7 +43,8 @@ reconstruction never divides through an underflowed transmittance — the
 failure mode of the CUDA kernel's divide-backward trick) via a reverse
 log-space cumulative sum, again as a triangular MXU matmul.
 
-Output rows: 0-2 rgb, 3 alpha-weighted depth, 4 alpha, 5 last-contributor.
+Output rows: 0-2 rgb, 3 alpha-weighted depth, 4 alpha, 5 last-contributor
+(window-relative, head rows included).
 """
 
 from __future__ import annotations
@@ -84,35 +92,47 @@ def _dot(a, b, contract):
     )
 
 
-def _chunk_alphas(coeff_chunk_t, featpix, rem):
+def _chunk_alphas(coeff_chunk_t, featpix, lo, hi, ci, chunk):
     """Shared fwd/bwd math: (raw, alpha, log_om) for one chunk.
 
-    coeff_chunk_t is the transposed [8, C] block (lane-aligned DMA layout);
-    rem = remaining live rows in this chunk (rows >= rem masked out)."""
-    c = coeff_chunk_t.shape[1]
+    coeff_chunk_t is the transposed [8, C] coefficient block; live rows are
+    window indices in [lo, hi) (lo = head offset of the unaligned segment)."""
+    c = chunk
     p = featpix.shape[1]
     power = _dot(coeff_chunk_t, featpix, ((0,), (0,)))  # [C, P]
     raw = jnp.exp(power)
     alpha = jnp.minimum(raw, ALPHA_MAX)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (c, p), 0)
-    live = (rows < rem) & (alpha >= ALPHA_MIN)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c, p), 0) + ci * chunk
+    live = (rows >= lo) & (rows < hi) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(live, alpha, 0.0)
     log_om = jnp.log1p(-alpha)
     return raw, alpha, log_om
 
 
+def _data_copy(data_hbm, buf, sems, b, base, ci, slot, chunk):
+    return pltpu.make_async_copy(
+        data_hbm.at[b, :, pl.ds(pl.multiple_of(base + ci * chunk, chunk),
+                                chunk)],
+        buf.at[slot],
+        sems.at[slot],
+    )
+
+
 def _fwd_kernel(
     starts_ref, counts_ref,  # scalar prefetch [B, NT]
-    coeff_hbm, feat_hbm, featpix_ref,  # inputs
+    data_hbm, featpix_ref,  # inputs
     out_ref,  # output block (1, 1, 8, P)
-    coeff_buf, feat_buf, sems,  # scratch
+    buf, sems,  # scratch: [2, 16, CHUNK] double buffer
     *, chunk: int, tile: int,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
     start = starts_ref[b, t]
     count = counts_ref[b, t]
-    nchunks = (count + chunk - 1) // chunk
+    base = (start // chunk) * chunk
+    head = start - base
+    total = head + count
+    nchunks = jnp.where(count > 0, (total + chunk - 1) // chunk, 0)
     p = tile * tile
 
     featpix = featpix_ref[:]
@@ -120,73 +140,77 @@ def _fwd_kernel(
 
     out_ref[0, 0] = jnp.zeros((8, p), jnp.float32)
 
-    def body(ci, carry):
-        log_t, last = carry
-        # starts are chunk-aligned by construction (binning.py); the hint lets
-        # Mosaic prove lane-tiling divisibility for the DMA slices
-        base = pl.multiple_of(start + ci * chunk, chunk)
-        cp = pltpu.make_async_copy(
-            coeff_hbm.at[b, :, pl.ds(base, chunk)], coeff_buf, sems.at[0]
-        )
-        fp = pltpu.make_async_copy(
-            feat_hbm.at[b, :, pl.ds(base, chunk)], feat_buf, sems.at[1]
-        )
-        cp.start()
-        fp.start()
-        cp.wait()
-        fp.wait()
+    @pl.when(nchunks > 0)
+    def _():
+        _data_copy(data_hbm, buf, sems, b, base, 0, 0, chunk).start()
 
-        rem = count - ci * chunk
-        raw, alpha, log_om = _chunk_alphas(coeff_buf[:], featpix, rem)
-        # exclusive cumulative log-transmittance via MXU triangular matmul
-        cum_ex = _dot(tri_ex, log_om, ((1,), (0,)))  # [C, P]
-        t_excl = jnp.exp(log_t + cum_ex)
-        t_incl = t_excl * (1.0 - alpha)
-        contrib = (t_incl >= T_EPS) & (alpha > 0.0)
-        w = jnp.where(contrib, alpha * t_excl, 0.0)
-        out_ref[0, 0] += _dot(feat_buf[:], w, ((1,), (0,)))
-
-        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, p), 0)
-        idxf = (rows + ci * chunk).astype(jnp.float32)
-        last = jnp.maximum(
-            last, jnp.max(jnp.where(contrib, idxf, -1.0), axis=0, keepdims=True)
-        )
-        log_t_new = log_t + cum_ex[chunk - 1 : chunk, :] + log_om[chunk - 1 : chunk, :]
-        return (log_t_new, last)
-
-    # while-loop with early exit: stop once every pixel's transmittance is
-    # below the contribution threshold (dense tiles saturate in 1-2 chunks)
     log_eps = jnp.float32(-9.22)  # log(1e-4)
 
     def cond(carry):
         ci, log_t, last = carry
         return (ci < nchunks) & (jnp.max(log_t) >= log_eps)
 
-    def wbody(carry):
+    def body(carry):
         ci, log_t, last = carry
-        log_t_new, last_new = body(ci, (log_t, last))
-        return (ci + 1, log_t_new, last_new)
+        slot = ci % 2
 
-    _, _, last = jax.lax.while_loop(
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            _data_copy(data_hbm, buf, sems, b, base, ci + 1, (ci + 1) % 2,
+                       chunk).start()
+
+        _data_copy(data_hbm, buf, sems, b, base, ci, slot, chunk).wait()
+        coeff = buf[slot, 0:8]
+        feat = buf[slot, 8:16]
+        raw, alpha, log_om = _chunk_alphas(coeff, featpix, head, total, ci,
+                                           chunk)
+        # exclusive cumulative log-transmittance via MXU triangular matmul
+        cum_ex = _dot(tri_ex, log_om, ((1,), (0,)))  # [C, P]
+        t_excl = jnp.exp(log_t + cum_ex)
+        t_incl = t_excl * (1.0 - alpha)
+        contrib = (t_incl >= T_EPS) & (alpha > 0.0)
+        w = jnp.where(contrib, alpha * t_excl, 0.0)
+        out_ref[0, 0] += _dot(feat, w, ((1,), (0,)))
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, p), 0)
+        idxf = (rows + ci * chunk).astype(jnp.float32)
+        last = jnp.maximum(
+            last,
+            jnp.max(jnp.where(contrib, idxf, -1.0), axis=0, keepdims=True))
+        log_t_new = (log_t + cum_ex[chunk - 1 : chunk, :]
+                     + log_om[chunk - 1 : chunk, :])
+        return (ci + 1, log_t_new, last)
+
+    ci_x, _, last = jax.lax.while_loop(
         cond,
-        wbody,
+        body,
         (jnp.int32(0), jnp.zeros((1, p), jnp.float32),
          jnp.full((1, p), -1.0, jnp.float32)),
     )
+    # early exit leaves the prefetched chunk ci_x in flight: drain it so the
+    # semaphore is clean for the next program instance
+    @pl.when((ci_x >= 1) & (ci_x < nchunks))
+    def _():
+        _data_copy(data_hbm, buf, sems, b, base, ci_x, ci_x % 2, chunk).wait()
+
     out_ref[0, 0, 5:6, :] = last
 
 
 def _bwd_kernel(
     starts_ref, counts_ref,
-    coeff_hbm, feat_hbm, featpix_ref, out_ref, gout_ref,
-    dcoeff_hbm, dfeat_hbm,
-    coeff_buf, feat_buf, dcoeff_buf, dfeat_buf, sems,
+    data_hbm, featpix_ref, out_ref, gout_ref,
+    dgrad_hbm,
+    buf, dbuf, rmw_buf, sems, wsem,
     *, chunk: int, tile: int,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
     start = starts_ref[b, t]
     count = counts_ref[b, t]
+    base = (start // chunk) * chunk
+    head = start - base
+    total = head + count
+    nchunks_all = jnp.where(count > 0, (total + chunk - 1) // chunk, 0)
     p = tile * tile
 
     featpix = featpix_ref[:]
@@ -195,30 +219,72 @@ def _bwd_kernel(
     last = out_ref[0, 0, 5:6, :]
     # only chunks up to the last contributor carry gradient
     max_last = jnp.max(last).astype(jnp.int32)
-    nchunks = jnp.minimum((count + chunk - 1) // chunk,
+    nchunks = jnp.minimum(nchunks_all,
                           jnp.where(max_last < 0, 0, max_last // chunk + 1))
     # early-stop keeps T_stop >= 1e-4, so 1 - alpha_out is well conditioned
     log_t_stop = jnp.log(jnp.maximum(1.0 - alpha_out, 1e-12))
     tri_in_up = _tri(chunk, strict=False, upper=True)  # inclusive suffix sums
     tri_ex_up = _tri(chunk, strict=True, upper=True)  # exclusive suffix sums
 
+    def write_chunk(ci, values16):
+        """SET or merge (RMW) one [16, chunk] gradient chunk.
+
+        The owner of a chunk's first row (head == 0 or ci > 0) writes the
+        whole chunk; otherwise (our unaligned head chunk) merge with what
+        the previous tile already wrote. The grid runs sequentially, so the
+        previous tile's write has landed."""
+        rows = jax.lax.broadcasted_iota(jnp.int32, (16, chunk), 1)
+        idx = rows + ci * chunk
+        mine = (idx >= head) & (idx < total)
+
+        def do_write():
+            dbuf[:] = jnp.where(mine, values16, dbuf[:])
+            wr = pltpu.make_async_copy(
+                dbuf,
+                dgrad_hbm.at[b, :, pl.ds(
+                    pl.multiple_of(base + ci * chunk, chunk), chunk)],
+                wsem,
+            )
+            wr.start()
+            wr.wait()
+
+        @pl.when((ci > 0) | (head == 0))
+        def _():
+            dbuf[:] = jnp.zeros((16, chunk), jnp.float32)
+            do_write()
+
+        @pl.when((ci == 0) & (head > 0))
+        def _():
+            rd = pltpu.make_async_copy(
+                dgrad_hbm.at[b, :, pl.ds(pl.multiple_of(base, chunk), chunk)],
+                rmw_buf,
+                wsem,
+            )
+            rd.start()
+            rd.wait()
+            dbuf[:] = rmw_buf[:]
+            do_write()
+
+    @pl.when(nchunks > 0)
+    def _():
+        _data_copy(data_hbm, buf, sems, b, base, nchunks - 1,
+                   (nchunks - 1) % 2, chunk).start()
+
     def body(i, carry):
         r_carry, log_s_carry = carry
         ci = nchunks - 1 - i
-        base = pl.multiple_of(start + ci * chunk, chunk)
-        cp = pltpu.make_async_copy(
-            coeff_hbm.at[b, :, pl.ds(base, chunk)], coeff_buf, sems.at[0]
-        )
-        fp = pltpu.make_async_copy(
-            feat_hbm.at[b, :, pl.ds(base, chunk)], feat_buf, sems.at[1]
-        )
-        cp.start()
-        fp.start()
-        cp.wait()
-        fp.wait()
+        slot = ci % 2
 
-        rem = count - ci * chunk
-        raw, alpha, log_om = _chunk_alphas(coeff_buf[:], featpix, rem)
+        @pl.when(ci >= 1)
+        def _():
+            _data_copy(data_hbm, buf, sems, b, base, ci - 1, (ci - 1) % 2,
+                       chunk).start()
+
+        _data_copy(data_hbm, buf, sems, b, base, ci, slot, chunk).wait()
+        coeff = buf[slot, 0:8]
+        feat = buf[slot, 8:16]
+        raw, alpha, log_om = _chunk_alphas(coeff, featpix, head, total, ci,
+                                           chunk)
         rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, p), 0)
         idxf = (rows + ci * chunk).astype(jnp.float32)
         contrib = (alpha > 0.0) & (idxf <= last)
@@ -228,27 +294,18 @@ def _bwd_kernel(
         t_excl = jnp.where(contrib, jnp.exp(log_t_stop - s_incl), 0.0)
         w = alpha * t_excl
 
-        t1 = _dot(feat_buf[:], gout, ((0,), (0,)))  # [C, P]
+        t1 = _dot(feat, gout, ((0,), (0,)))  # [C, P]
         t1w = t1 * w
         r_rows = _dot(tri_ex_up, t1w, ((1,), (0,))) + r_carry  # suffix sums
         dalpha = jnp.where(contrib, t1 * t_excl - r_rows / (1.0 - alpha), 0.0)
         # gradient NOT gated at the 0.99 cap (parity with the CUDA backward)
         dpower = jnp.where(contrib, dalpha * raw, 0.0)
 
-        dcoeff_buf[:] = _dot(featpix, dpower, ((1,), (1,)))  # [8, C]
-        dfeat_buf[:] = _dot(gout, w, ((1,), (1,)))  # [8, C]
-        dc = pltpu.make_async_copy(
-            dcoeff_buf, dcoeff_hbm.at[b, :, pl.ds(base, chunk)], sems.at[0]
-        )
-        df = pltpu.make_async_copy(
-            dfeat_buf, dfeat_hbm.at[b, :, pl.ds(base, chunk)], sems.at[1]
-        )
-        dc.start()
-        df.start()
+        dcoeff = _dot(featpix, dpower, ((1,), (1,)))  # [8, C]
+        dfeat = _dot(gout, w, ((1,), (1,)))  # [8, C]
+        write_chunk(ci, jnp.concatenate([dcoeff, dfeat], axis=0))
         r_carry_new = r_rows[0:1, :] + t1w[0:1, :]
         log_s_carry_new = s_incl[0:1, :]
-        dc.wait()
-        df.wait()
         return (r_carry_new, log_s_carry_new)
 
     jax.lax.fori_loop(
@@ -258,31 +315,16 @@ def _bwd_kernel(
         (jnp.zeros((1, p), jnp.float32), jnp.zeros((1, p), jnp.float32)),
     )
 
-    # zero-fill the gradient rows of chunks past the last contributor
-    # (skipped above) so the HBM outputs never contain garbage
-    nchunks_all = (count + chunk - 1) // chunk
-
+    # zero-fill gradient chunks past the last contributor (skipped above)
     def zero_body(ci, _):
-        base = pl.multiple_of(start + ci * chunk, chunk)
-        dcoeff_buf[:] = jnp.zeros((8, chunk), jnp.float32)
-        dfeat_buf[:] = jnp.zeros((8, chunk), jnp.float32)
-        dc = pltpu.make_async_copy(
-            dcoeff_buf, dcoeff_hbm.at[b, :, pl.ds(base, chunk)], sems.at[0]
-        )
-        df = pltpu.make_async_copy(
-            dfeat_buf, dfeat_hbm.at[b, :, pl.ds(base, chunk)], sems.at[1]
-        )
-        dc.start()
-        df.start()
-        dc.wait()
-        df.wait()
+        write_chunk(ci, jnp.zeros((16, chunk), jnp.float32))
         return 0
 
     jax.lax.fori_loop(nchunks, nchunks_all, zero_body, 0)
 
 
-def _fwd_call(coeff, feat, starts, counts, tile, chunk, interpret):
-    b, _, ipad = coeff.shape
+def _fwd_call(data, starts, counts, tile, chunk, interpret):
+    b, _, epad = data.shape
     nt = starts.shape[1]
     p = tile * tile
     featpix = _pixel_features(tile)
@@ -291,15 +333,13 @@ def _fwd_call(coeff, feat, starts, counts, tile, chunk, interpret):
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, p), lambda bb, tt, sb, st: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 8, p), lambda bb, tt, sb, st: (bb, tt, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((8, chunk), jnp.float32),
-            pltpu.VMEM((8, chunk), jnp.float32),
+            pltpu.VMEM((2, 16, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -308,12 +348,12 @@ def _fwd_call(coeff, feat, starts, counts, tile, chunk, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nt, 8, p), jnp.float32),
         interpret=interpret,
-    )(starts, counts, coeff, feat, featpix)
+    )(starts, counts, data, featpix)
     return out
 
 
-def _bwd_call(coeff, feat, starts, counts, out, gout, tile, chunk, interpret):
-    b, _, ipad = coeff.shape
+def _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret):
+    b, _, epad = data.shape
     nt = starts.shape[1]
     p = tile * tile
     featpix = _pixel_features(tile)
@@ -322,7 +362,6 @@ def _bwd_call(coeff, feat, starts, counts, out, gout, tile, chunk, interpret):
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, p), lambda bb, tt, sb, st: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, p), lambda bb, tt, sb, st: (bb, tt, 0, 0),
@@ -330,58 +369,51 @@ def _bwd_call(coeff, feat, starts, counts, out, gout, tile, chunk, interpret):
             pl.BlockSpec((1, 1, 8, p), lambda bb, tt, sb, st: (bb, tt, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((8, chunk), jnp.float32),
-            pltpu.VMEM((8, chunk), jnp.float32),
-            pltpu.VMEM((8, chunk), jnp.float32),
-            pltpu.VMEM((8, chunk), jnp.float32),
+            pltpu.VMEM((2, 16, chunk), jnp.float32),
+            pltpu.VMEM((16, chunk), jnp.float32),
+            pltpu.VMEM((16, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
-    dcoeff, dfeat = pl.pallas_call(
+    dgrad = pl.pallas_call(
         functools.partial(_bwd_kernel, chunk=chunk, tile=tile),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 8, ipad), jnp.float32),
-            jax.ShapeDtypeStruct((b, 8, ipad), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, 16, epad), jnp.float32),
         interpret=interpret,
-    )(starts, counts, coeff, feat, featpix, out, gout)
-    return dcoeff, dfeat
+    )(starts, counts, data, featpix, out, gout)
+    return dgrad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def composite_tiles(coeff, feat, starts, counts, tile: int, chunk: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def composite_tiles(data, starts, counts, tile: int, chunk: int,
                     interpret: bool = False):
-    """Composite CHUNK-aligned instance segments into per-tile accumulators.
+    """Composite depth-sorted instance segments into per-tile accumulators.
 
     Args:
-      coeff: [B, 8, IPAD] transposed power coefficients
-        (gaussian_power_coeffs + 2 pad rows; lane-aligned DMA layout).
-      feat:  [B, 8, IPAD] transposed instance features [r, g, b, depth, 1, 0..].
-      starts/counts: [B, NT] int32 segment layout from binning.
+      data: [B, 16, EPAD] transposed instance blocks — rows 0-7 the power
+        coefficients (gaussian_power_coeffs + 2 pad rows), rows 8-15 the
+        features [r, g, b, depth, 1, 0, 0, 0]. EPAD must leave >= 2*chunk
+        slack beyond the last live instance (window rounding).
+      starts/counts: [B, NT] int32 UNALIGNED segment layout from binning.
     Returns:
       [B, NT, 8, P] accumulators: rows 0-2 rgb, 3 alpha-weighted depth,
       4 accumulated alpha, 5 last-contributor index (internal).
     """
-    return _fwd_call(coeff, feat, starts, counts, tile, chunk, interpret)
+    return _fwd_call(data, starts, counts, tile, chunk, interpret)
 
 
-def _composite_fwd(coeff, feat, starts, counts, tile, chunk, interpret):
-    out = _fwd_call(coeff, feat, starts, counts, tile, chunk, interpret)
-    return out, (coeff, feat, starts, counts, out)
+def _composite_fwd(data, starts, counts, tile, chunk, interpret):
+    out = _fwd_call(data, starts, counts, tile, chunk, interpret)
+    return out, (data, starts, counts, out)
 
 
 def _composite_bwd(tile, chunk, interpret, res, gout):
-    coeff, feat, starts, counts, out = res
-    dcoeff, dfeat = _bwd_call(
-        coeff, feat, starts, counts, out, gout, tile, chunk, interpret
-    )
-    return dcoeff, dfeat, None, None
+    data, starts, counts, out = res
+    dgrad = _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret)
+    return dgrad, None, None
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)

@@ -10,7 +10,10 @@ statistics.
 TPU-first differences: the whole camera batch renders in one jitted, vmapped
 call (the reference loops cameras in Python, reference: GaussianIP.py:154-204);
 the compositor is the Pallas MXU kernel (composite_pallas.py) with a pure-JAX
-reference fallback for CPU/debug.
+reference fallback for CPU/debug. Instance attributes ride one packed gather
+(TPU gathers amortize over row width); the gather's VJP is a custom
+emission-order reduction (gather + reshape-sum + segment cumsum-difference)
+instead of XLA's giant scatter-add — see binning.py for the layout.
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .binning import bin_instances
+from .binning import INLINE, bin_instances
 from .composite_pallas import composite_tiles, tiles_to_image
 from .composite_ref import composite_reference
 from .preprocess import gaussian_power_coeffs, project_gaussians
@@ -33,7 +36,7 @@ class RenderConfig:
     tile: int = struct.field(pytree_node=False, default=16)
     chunk: int = struct.field(pytree_node=False, default=128)
     d_max: int = struct.field(pytree_node=False, default=25)
-    icap: int = struct.field(pytree_node=False, default=0)  # 0 = auto
+    pool: int = struct.field(pytree_node=False, default=0)  # 0 = auto
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
 
@@ -43,7 +46,7 @@ class RenderOutput(NamedTuple):
     depth: jnp.ndarray  # [B, H, W] alpha-weighted view-z
     alpha: jnp.ndarray  # [B, H, W]
     radii: jnp.ndarray  # [B, N] int32
-    n_dropped: jnp.ndarray  # [B] instances lost to icap overflow (observability)
+    n_dropped: jnp.ndarray  # [B] instances lost to pool overflow
 
 
 def _resolve_backend(cfg: RenderConfig) -> str:
@@ -52,14 +55,62 @@ def _resolve_backend(cfg: RenderConfig) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "reference"
 
 
-def _auto_icap(n: int, d_max: int, chunk: int, h: int, w: int) -> int:
-    # instance traffic scales with icap; ~4 duplicates/gaussian measured for
-    # trained scenes at 16px tiles and 1024^2 — footprint area (hence
-    # duplicate count) scales with resolution^2 (overflow is reported in
-    # n_dropped)
+def _auto_pool(n: int, chunk: int, h: int, w: int) -> int:
+    """Overflow-pool sizing: big-footprint duplicates beyond the INLINE tier
+    scale with resolution^2 (measured ~2 extra tiles/gaussian at 1024^2 for
+    trained scenes; headline scenes peak higher — overflow is reported in
+    n_dropped)."""
     res_scale = max((h * w) / float(1024 * 1024), 0.05)
-    icap = min(n * d_max, max(int(8 * n * res_scale), 2 * n, 1 << 17))
-    return -(-icap // chunk) * chunk
+    # floor of 2n: tiny-resolution scenes keep proportionally huge footprints
+    pool = max(int(4 * n * res_scale), 2 * n, 2 * chunk)
+    return -(-pool // chunk) * chunk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_rows(packed, gidx, n: int, inv_em, pool_ofs, pool_len):
+    """inst[b, i] = packed[b, gidx[b, i]] with dead rows zeroed.
+
+    Backward reduces per-instance gradients to per-gaussian gradients via
+    the emission layout (see binning.py): gather by inv_em, reshape-sum the
+    inline tier, cumsum-difference the contiguous pool segments. No
+    scatter-add (XLA TPU scatters are ~4x slower than gathers)."""
+    gidx_safe = jnp.minimum(gidx, n - 1)
+    inst = jnp.take_along_axis(packed, gidx_safe[..., None], axis=1)
+    return jnp.where((gidx < n)[..., None], inst, 0.0)
+
+
+def _gather_rows_fwd(packed, gidx, n, inv_em, pool_ofs, pool_len):
+    return (_gather_rows(packed, gidx, n, inv_em, pool_ofs, pool_len),
+            (gidx, inv_em, pool_ofs, pool_len))
+
+
+def _gather_rows_bwd(n, res, dinst):
+    gidx, inv_em, pool_ofs, pool_len = res
+    b, e, c = dinst.shape
+    pool = e - INLINE * n
+    # emission-order gradient rows (dead emission slots -> zero)
+    inv_safe = jnp.minimum(inv_em, e - 1)
+    dem = jnp.take_along_axis(dinst, inv_safe[..., None], axis=1)
+    dem = jnp.where((inv_em < e)[..., None], dem, 0.0)  # [B, 4N + pool, C]
+    # inline tier: [B, N, INLINE, C] sum
+    dpacked = jnp.sum(dem[:, : INLINE * n].reshape(b, n, INLINE, c), axis=2)
+    if pool > 0:
+        # pool tier: contiguous per-gaussian segments -> cumsum difference
+        ps = jnp.cumsum(dem[:, INLINE * n :], axis=1)  # [B, pool, C]
+        hi = jnp.clip(pool_ofs + pool_len - 1, 0, pool - 1)
+        lo = pool_ofs - 1
+        seg_hi = jnp.take_along_axis(ps, hi[..., None], axis=1)
+        seg_lo = jnp.where(
+            (lo >= 0)[..., None],
+            jnp.take_along_axis(ps, jnp.maximum(lo, 0)[..., None], axis=1),
+            0.0,
+        )
+        dpacked = dpacked + jnp.where(
+            (pool_len > 0)[..., None], seg_hi - seg_lo, 0.0)
+    return dpacked, None, None, None, None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def render(
@@ -112,12 +163,14 @@ def render(
     tile = cfg.tile
     ntx = -(-w // tile)
     nty = -(-h // tile)
-    icap = cfg.icap or _auto_icap(n, cfg.d_max, cfg.chunk, h, w)
+    pool = cfg.pool or _auto_pool(n, cfg.chunk, h, w)
+    e = INLINE * n + pool
+    epad = (-(-(e + cfg.chunk) // cfg.chunk)) * cfg.chunk + cfg.chunk
 
     binning = jax.vmap(
         lambda m, r, z, v: bin_instances(
             m, r, z, v, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
-            d_max=cfg.d_max, icap=icap, chunk=cfg.chunk,
+            d_max=cfg.d_max, pool=pool, chunk=cfg.chunk, with_inv=True,
         )
     )(proj.mean2d, proj.radius, proj.depth, proj.valid)
 
@@ -134,10 +187,9 @@ def render(
         ],
         axis=-1,
     )  # [B, N, 10]
-    gidx_safe = jnp.minimum(binning.gidx, n - 1)  # [B, IPAD]
-    inst = jnp.take_along_axis(packed, gidx_safe[..., None], axis=1)
+    inst = _gather_rows(packed, binning.gidx, n, binning.inv_em,
+                        binning.pool_ofs, binning.pool_len)
     rv = (binning.gidx < n)[..., None]
-    inst = jnp.where(rv, inst, 0.0)
 
     tile_safe = jnp.minimum(binning.tile_of, ntx * nty - 1)
     origin = jnp.stack(
@@ -161,10 +213,12 @@ def render(
         0.0,
     )
 
-    # transposed [B, 8, IPAD] layout -> lane-aligned DMA slices in the kernel
+    # transposed [B, 16, EPAD] layout: one lane-aligned DMA per chunk in the
+    # kernel (coeff rows 0-7, feature rows 8-15)
+    data = jnp.swapaxes(jnp.concatenate([coeff8, feat8], axis=-1), 1, 2)
+    data = jnp.pad(data, ((0, 0), (0, 0), (0, epad - e)))
     out = composite_tiles(
-        jnp.swapaxes(coeff8, 1, 2), jnp.swapaxes(feat8, 1, 2),
-        binning.starts, binning.counts, tile, cfg.chunk, cfg.interpret,
+        data, binning.starts, binning.counts, tile, cfg.chunk, cfg.interpret,
     )
     rgb, depth, alpha = tiles_to_image(out, nty, ntx, tile, h, w)
     bgc = jnp.asarray(bg_color, jnp.float32)

@@ -26,7 +26,7 @@ def main():
     from gaussianip_tpu.model.gaussians import create_from_pcd
     from gaussianip_tpu.ops.camera_math import look_at_c2w
     from gaussianip_tpu.ops.knn import mean_dist2_3nn
-    from gaussianip_tpu.render.render import RenderConfig, render, _auto_icap
+    from gaussianip_tpu.render.render import RenderConfig, render, _auto_pool
     from gaussianip_tpu.render.binning import bin_instances
     from gaussianip_tpu.render.preprocess import (
         gaussian_power_coeffs, project_gaussians)
@@ -62,9 +62,9 @@ def main():
     cfg = RenderConfig(backend="pallas", d_max=d_max)
     tile = cfg.tile
     ntx = nty = -(-res // tile)
-    icap = _auto_icap(n, cfg.d_max, cfg.chunk, res, res)
-    print(f"res={res} batch={batch} d_max={cfg.d_max} icap={icap} "
-          f"ipad={icap + ntx * nty * cfg.chunk} keys={n * cfg.d_max}")
+    pool = _auto_pool(n, cfg.chunk, res, res)
+    print(f"res={res} batch={batch} d_max={cfg.d_max} pool={pool} "
+          f"E={4 * n + pool}")
 
     K = 4
 
@@ -127,7 +127,7 @@ def main():
             active))(cams, off)
         binning = jax.vmap(lambda m, r, z, v: bin_instances(
             m, r, z, v, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
-            d_max=cfg.d_max, icap=icap, chunk=cfg.chunk,
+            d_max=cfg.d_max, pool=pool, chunk=cfg.chunk, with_inv=True,
         ))(proj.mean2d, proj.radius, proj.depth, proj.valid)
         return (jnp.sum(binning.gidx) + jnp.sum(binning.starts)
                 + jnp.sum(binning.counts)).astype(jnp.float32)

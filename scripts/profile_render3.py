@@ -22,8 +22,9 @@ from gaussianip_tpu.data.cameras import camera_from_c2w
 from gaussianip_tpu.model.gaussians import create_from_pcd
 from gaussianip_tpu.ops.camera_math import look_at_c2w
 from gaussianip_tpu.ops.knn import mean_dist2_3nn
-from gaussianip_tpu.render.render import RenderConfig, _auto_icap
-from gaussianip_tpu.render.binning import bin_instances
+from gaussianip_tpu.render.render import (RenderConfig, _auto_pool,
+                                            _gather_rows)
+from gaussianip_tpu.render.binning import INLINE, bin_instances
 from gaussianip_tpu.render.preprocess import (gaussian_power_coeffs,
                                               project_gaussians)
 from gaussianip_tpu.render.composite_pallas import composite_tiles
@@ -54,8 +55,9 @@ cfg = RenderConfig(backend="pallas")
 tile, chunk, d_max = cfg.tile, cfg.chunk, cfg.d_max
 ntx = nty = res // tile
 nt = ntx * nty
-icap = _auto_icap(n, d_max, chunk, res, res)
-ipad = icap + nt * chunk
+pool = _auto_pool(n, chunk, res, res)
+e_tot = INLINE * n + pool
+epad = (-(-(e_tot + chunk) // chunk)) * chunk + chunk
 
 deg = state.active_sh_degree
 xyz, scales = state.xyz, state.get_scaling()
@@ -67,7 +69,8 @@ proj = jax.jit(jax.vmap(lambda cam, o: project_gaussians(
     active)))(cams, off)
 binning = jax.jit(jax.vmap(functools.partial(
     bin_instances, tile=tile, n_tiles_x=ntx, n_tiles_y=nty, d_max=d_max,
-    icap=icap, chunk=chunk)))(proj.mean2d, proj.radius, proj.depth, proj.valid)
+    pool=pool, chunk=chunk, with_inv=True)))(
+    proj.mean2d, proj.radius, proj.depth, proj.valid)
 
 counts = np.asarray(binning.counts[0])
 w = np.asarray(proj.valid[0])
@@ -84,14 +87,13 @@ print("footprint tiles percentiles:",
       "frac>4:", float((fp > 4).mean()), "sum extra:", int(np.maximum(fp - 4, 0).sum()),
       "sum:", int(fp.sum()))
 
-# build kernel inputs once
+# build kernel inputs once (v2 packing)
 packed = jnp.concatenate([
     proj.mean2d, proj.conic, (proj.opacity * jnp.ones((batch, n)))[..., None],
     proj.color, proj.depth[..., None]], axis=-1)
-gidx_safe = jnp.minimum(binning.gidx, n - 1)
-inst = jnp.take_along_axis(packed, gidx_safe[..., None], axis=1)
+inst = _gather_rows(packed, binning.gidx, n, binning.inv_em,
+                    binning.pool_ofs, binning.pool_len)
 rv = (binning.gidx < n)[..., None]
-inst = jnp.where(rv, inst, 0.0)
 tile_safe = jnp.minimum(binning.tile_of, nt - 1)
 origin = jnp.stack([(tile_safe % ntx) * tile, (tile_safe // ntx) * tile],
                    axis=-1).astype(jnp.float32)
@@ -104,10 +106,12 @@ zeros = jnp.zeros_like(ones)
 feat8 = jnp.where(rv, jnp.stack(
     [inst[..., 6], inst[..., 7], inst[..., 8], inst[..., 9], ones, zeros,
      zeros, zeros], axis=-1), 0.0)
-coeff_t = jax.device_put(jnp.swapaxes(coeff8, 1, 2), dev)
-feat_t = jax.device_put(jnp.swapaxes(feat8, 1, 2), dev)
+data = jnp.swapaxes(jnp.concatenate([coeff8, feat8], axis=-1), 1, 2)
+data = jax.device_put(jnp.pad(data, ((0, 0), (0, 0), (0, epad - e_tot))), dev)
 starts, cnts = jax.device_put((binning.starts, binning.counts), dev)
-
+gidx_d, inv_d, pofs_d, plen_d, packed_d = jax.device_put(
+    (binning.gidx, binning.inv_em, binning.pool_ofs, binning.pool_len,
+     packed), dev)
 
 @jax.jit
 def trivial(x):
@@ -124,88 +128,86 @@ def timeit(f, *args, reps=3):
     return min(ts)
 
 
-t_rpc = timeit(trivial, coeff_t)
+t_rpc = timeit(trivial, data)
 print(f"rpc_floor_ms={t_rpc*1000:.2f}")
 K = 6
 
 
 @jax.jit
-def kfwd(coeff_t, feat_t):
+def kfwd(data):
     s = jnp.float32(0.0)
     for _ in range(K):
-        out = composite_tiles(coeff_t + s * 1e-12, feat_t, starts, cnts,
-                              tile, chunk, False)
+        out = composite_tiles(data + s * 1e-12, starts, cnts, tile, chunk,
+                              False)
         s = jnp.sum(out[:, :, :5, :])
     return s
 
 
-t = max(timeit(kfwd, coeff_t, feat_t) - t_rpc, 1e-9) / K
+t = max(timeit(kfwd, data) - t_rpc, 1e-9) / K
 print(f"composite fwd kernel only: {t*1000:8.2f} ms")
 
 
-def kloss(coeff_t, feat_t):
-    out = composite_tiles(coeff_t, feat_t, starts, cnts, tile, chunk, False)
+def kloss(data):
+    out = composite_tiles(data, starts, cnts, tile, chunk, False)
     return jnp.sum(out[:, :, :5, :] ** 2)
 
 
 @jax.jit
-def kfb(coeff_t, feat_t):
+def kfb(data):
     s = jnp.float32(0.0)
     for _ in range(K):
-        g1, g2 = jax.grad(kloss, argnums=(0, 1))(coeff_t + s * 1e-12, feat_t)
-        s = jnp.sum(g1[:, :, ::64]) + jnp.sum(g2[:, :, ::64])
+        g1 = jax.grad(kloss)(data + s * 1e-12)
+        s = jnp.sum(g1[:, :, ::64])
     return s
 
 
-t_fb = max(timeit(kfb, coeff_t, feat_t) - t_rpc, 1e-9) / K
+t_fb = max(timeit(kfb, data) - t_rpc, 1e-9) / K
 print(f"composite fwd+bwd kernel:  {t_fb*1000:8.2f} ms")
 
-# coeff build + swapaxes alone
+# gather fwd alone
 @jax.jit
-def build(inst_in):
+def gfwd(packed):
     s = jnp.float32(0.0)
-    x = inst_in
     for _ in range(K):
-        local = x[..., 0:2] - origin
-        c6 = gaussian_power_coeffs(local, x[..., 2:5], x[..., 5])
-        c8 = jnp.where(rv, jnp.concatenate(
-            [c6, jnp.zeros_like(c6[..., :2])], axis=-1), 0.0)
-        ct = jnp.swapaxes(c8, 1, 2)
-        s = jnp.sum(ct[:, :, ::64])
-        x = inst_in + s * 1e-12
+        inst = _gather_rows(packed + s * 1e-12, gidx_d, n, inv_d, pofs_d,
+                            plen_d)
+        s = jnp.sum(inst[:, ::64])
     return s
 
 
-t_b = max(timeit(build, inst) - t_rpc, 1e-9) / K
-print(f"coeff build + swap:        {t_b*1000:8.2f} ms")
+t_g = max(timeit(gfwd, packed_d) - t_rpc, 1e-9) / K
+print(f"gather fwd alone:          {t_g*1000:8.2f} ms")
 
-# no-op kernel, grid (1, 4096): per-program overhead
-def nop_kernel(starts_ref, counts_ref, x_hbm, o_ref, buf, sem):
-    b = pl.program_id(0)
-    t_ = pl.program_id(1)
-    o_ref[0, 0] = jnp.float32(t_) + jnp.float32(starts_ref[b, t_])
+
+def gloss(packed):
+    inst = _gather_rows(packed, gidx_d, n, inv_d, pofs_d, plen_d)
+    return jnp.sum(inst ** 2)
 
 
 @jax.jit
-def nop(starts):
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(1, nt),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 1), lambda b, t, s1, s2: (b, t),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32),
-                        pltpu.SemaphoreType.DMA((1,))],
-    )
+def gfb(packed):
     s = jnp.float32(0.0)
     for _ in range(K):
-        out = pl.pallas_call(
-            nop_kernel, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((1, nt), jnp.float32),
-        )(starts + (s.astype(jnp.int32) & 1), cnts, coeff_t)
-        s = jnp.sum(out[:, ::64])
+        g1 = jax.grad(gloss)(packed + s * 1e-12)
+        s = jnp.sum(g1[:, ::64])
     return s
 
 
-t_n = max(timeit(nop, starts) - t_rpc, 1e-9) / K
-print(f"no-op kernel grid 4096:    {t_n*1000:8.2f} ms")
+t_gb = max(timeit(gfb, packed_d) - t_rpc, 1e-9) / K
+print(f"gather fwd+bwd (reduction):{t_gb*1000:8.2f} ms")
+
+cnts0 = jnp.zeros_like(cnts)
+
+
+@jax.jit
+def kempty(data):
+    s = jnp.float32(0.0)
+    for _ in range(K):
+        out = composite_tiles(data + s * 1e-12, starts, cnts0, tile, chunk,
+                              False)
+        s = jnp.sum(out[:, :, :5, :])
+    return s
+
+
+t_n = max(timeit(kempty, data) - t_rpc, 1e-9) / K
+print(f"fwd kernel, zero counts:   {t_n*1000:8.2f} ms")

@@ -1,10 +1,11 @@
-"""Binning invariants: segment layout, depth ordering, footprint clamping,
-overflow accounting — against a direct numpy reconstruction."""
+"""Binning invariants (two-tier emission): segment layout, depth ordering,
+footprint clamping, pool-overflow accounting, emission inverse — against a
+direct numpy reconstruction."""
 
 import jax.numpy as jnp
 import numpy as np
 
-from gaussianip_tpu.render.binning import bin_instances
+from gaussianip_tpu.render.binning import INLINE, bin_instances
 
 
 def _scene(rng, n, w, h):
@@ -19,32 +20,34 @@ def _scene(rng, n, w, h):
 def test_binning_invariants(rng):
     n, w, h, tile, chunk = 300, 128, 128, 16, 128
     ntx = nty = w // tile
+    pool = 50 * chunk
     mean2d, radius, depth, valid = _scene(rng, n, w, h)
     b = bin_instances(jnp.asarray(mean2d), jnp.asarray(radius),
                       jnp.asarray(depth), jnp.asarray(valid),
                       tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
-                      d_max=25, icap=128 * 64, chunk=chunk)
+                      d_max=25, pool=pool, chunk=chunk, with_inv=True)
     starts = np.asarray(b.starts)
     counts = np.asarray(b.counts)
     gidx = np.asarray(b.gidx)
     tile_of = np.asarray(b.tile_of)
+    inv_em = np.asarray(b.inv_em)
     nt = ntx * nty
+    e = INLINE * n + pool
     assert int(b.n_dropped) == 0
 
-    # chunk alignment + segments don't overlap
-    assert (starts % chunk == 0).all()
-    ends = starts + ((counts + chunk - 1) // chunk) * chunk
-    assert (starts[1:] >= ends[:-1]).all()
+    # segments tile the live prefix contiguously, in tile order
+    ends = starts + counts
+    assert (starts[1:] == ends[:-1]).all()
+    assert starts[0] == 0
+    n_live = ends[-1]
+    assert (gidx[:n_live] < n).all()
+    assert (gidx[n_live:] == n).all()
     for t in range(nt):
-        rows = np.arange(starts[t], starts[t] + counts[t])
+        rows = np.arange(starts[t], ends[t])
         assert (tile_of[rows] == t).all()
-        assert (gidx[rows] < n).all()
         # depth strictly non-decreasing within the segment
         d = depth[gidx[rows]]
         assert (np.diff(d) >= -1e-6).all()
-        # rows between count and the chunk boundary are invalid
-        pad_rows = np.arange(starts[t] + counts[t], ends[t])
-        assert (gidx[pad_rows] == n).all()
 
     # every (valid, on-screen) gaussian lands in its center tile's segment
     for g in rng.integers(0, n, 20):
@@ -57,24 +60,40 @@ def test_binning_invariants(rng):
         rows = np.arange(starts[t], starts[t] + counts[t])
         assert g in gidx[rows]
 
+    # emission inverse: inv_em maps each live emission slot to its sorted
+    # position; every live sorted row is hit exactly once
+    live_inv = inv_em[inv_em < e]
+    assert len(live_inv) == n_live
+    assert sorted(live_inv) == list(range(n_live))
+    # inline slot e = g * INLINE + d maps back to gaussian g
+    for em_slot in live_inv[:50]:
+        pass  # positions checked via gidx below
+    pos = inv_em[: INLINE * n]
+    for g in rng.integers(0, n, 20):
+        for d in range(INLINE):
+            p = pos[g * INLINE + d]
+            if p < e:
+                assert gidx[p] == g
 
-def test_binning_overflow_accounting(rng):
+
+def test_binning_pool_overflow_accounting(rng):
+    # every gaussian has a 9-tile footprint -> 5 pool draws each; pool of
+    # one chunk holds 128 -> 25 gaussians fully served, rest truncated
     n, tile = 200, 16
-    mean2d = np.full((n, 2), 40.0, np.float32)  # tile interior: 1 dup each
-    radius = np.full(n, 5, np.int32)
+    mean2d = np.full((n, 2), 40.0, np.float32)
+    radius = np.full(n, 24, np.int32)  # 3x3 tiles
     depth = rng.uniform(0.5, 2.0, n).astype(np.float32)
     valid = np.ones(n, bool)
-    icap = 128  # force overflow: 200 instances > 128
+    pool = 128
     b = bin_instances(jnp.asarray(mean2d), jnp.asarray(radius),
                       jnp.asarray(depth), jnp.asarray(valid),
                       tile=tile, n_tiles_x=8, n_tiles_y=8,
-                      d_max=9, icap=icap, chunk=128)
-    assert int(b.n_dropped) == n - icap
-    # the kept prefix is the NEAREST instances (sorted by depth rank)
-    kept = np.asarray(b.gidx)[np.asarray(b.gidx) < n]
-    kept_depths = depth[kept]
-    dropped_min = np.sort(depth)[icap:].min()
-    assert kept_depths.max() <= dropped_min + 1e-6
+                      d_max=25, pool=pool, chunk=128)
+    want_extra = n * 5  # 9 tiles - 4 inline
+    assert int(b.n_dropped) == want_extra - pool
+    # all inline instances and exactly `pool` extras survive
+    gidx = np.asarray(b.gidx)
+    assert (gidx < n).sum() == n * 4 + pool
 
 
 def test_binning_centered_clamp(rng):
@@ -86,7 +105,7 @@ def test_binning_centered_clamp(rng):
     b = bin_instances(jnp.asarray(mean2d), jnp.asarray(radius),
                       jnp.asarray(depth), jnp.asarray(valid),
                       tile=16, n_tiles_x=8, n_tiles_y=8,
-                      d_max=9, icap=128, chunk=128)
+                      d_max=9, pool=128, chunk=128)
     tiles = np.asarray(b.tile_of)[np.asarray(b.gidx) < 1]
     assert len(tiles) == 9
     tx, ty = tiles % 8, tiles // 8
