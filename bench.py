@@ -82,10 +82,14 @@ def main():
 
     @jax.jit
     def fwd_k(state):
-        # unrolled chain: carry feeds the next iteration so XLA cannot CSE
+        # unrolled chain: carry feeds the next iteration so XLA cannot CSE.
+        # Perturb XYZ — every stage (projection, binning, compositing) must
+        # depend on the carry, or XLA hoists the invariant stages out of the
+        # chain and the per-iteration time underreports them (an opacity
+        # perturbation left the whole binning hoisted: ~4x flattering)
         carry = jnp.float32(0.0)
         for _ in range(K):
-            st = state.replace(opacity=state.opacity + carry * 1e-12)
+            st = state.replace(xyz=state.xyz + carry * 1e-12)
             out = render(st, cams, bg, cfg)
             carry = jnp.sum(out.rgb)
         return carry
@@ -95,7 +99,7 @@ def main():
         carry = jnp.float32(0.0)
         off = jnp.zeros((batch, n, 2))
         for _ in range(K):
-            st = state.replace(opacity=state.opacity + carry * 1e-12)
+            st = state.replace(xyz=state.xyz + carry * 1e-12)
             g = jax.grad(loss, argnums=(0, 1), allow_int=True)(st, off)
             carry = jnp.sum(g[1]) + jnp.sum(g[0].xyz)
         return carry
@@ -172,6 +176,20 @@ def main():
 
     fps_fb = batch / t_fb
     baseline_fps = 100.0
+    # hardware-roofline view (VERDICT r1 #9): traffic/FLOPs the fwd+bwd pass
+    # actually moves/computes vs v5e peaks (~820 GB/s HBM, 197 TF/s bf16 /
+    # ~98 TF/s f32). The compositor is gather/sort/HBM-bound, not MXU-bound.
+    n_live = 400_000  # measured live instances on this scene at 1024^2
+    bytes_moved = (
+        n_live * (10 + 16 + 16 + 16) * 4  # gather + data + dgrad rw (f32)
+        + 2.5 * n_live * 4 * 2 * 2        # sort universe keys+vals, r/w
+        + 4096 * 8 * 256 * 4 * 3          # tile accumulators out+bwd reads
+    )
+    hbm_gbs = bytes_moved / t_fb / 1e9
+    # MXU work: power + triangular + feature matmuls over live chunks,
+    # fwd (3) + bwd (5 passes), f32 (HIGHEST)
+    chunks = n_live / 128 * 1.3
+    mxu_flops = chunks * (2 * 8 * 128 * 256 * 2 + 2 * 128 * 128 * 256) * (3 + 5) / 3
     print(json.dumps({
         "metric": "splat_render_fwd_bwd_1024px_100k",
         "value": round(fps_fb, 2),
@@ -179,6 +197,9 @@ def main():
         "vs_baseline": round(fps_fb / baseline_fps, 3),
         "fwd_ms": round(t_fwd * 1000 / batch, 2),
         "fwd_bwd_ms": round(t_fb * 1000 / batch, 2),
+        "hbm_traffic_gb_s": round(hbm_gbs, 1),
+        "hbm_util_of_820": round(hbm_gbs / 820.0, 3),
+        "mxu_tflops": round(mxu_flops / t_fb / 1e12, 1),
         **extras,
         "device": str(jax.devices()[0]),
     }))

@@ -129,22 +129,29 @@ def bin_instances(
 
     w_safe = jnp.maximum(w, 1)
 
-    def slot_tile(g_tmin_x, g_tmin_y, g_w, d):
-        dy = d // g_w
-        dx = d % g_w
+    def slot_tile(g_tmin_x, g_tmin_y, g_recip_w, g_w, d):
+        # d // w and d % w through f32 reciprocals: the VPU has no integer
+        # divide, and vector-divisor int division expands to a slow loop.
+        # Exact for d < 2^12, w < 2^8 (quotient error << 1/w)
+        dy = (d.astype(jnp.float32) * g_recip_w).astype(jnp.int32)
+        dx = d - dy * g_w
         return (g_tmin_y + dy) * n_tiles_x + (g_tmin_x + dx)
+
+    recip_w = 1.0 / w_safe.astype(jnp.float32) * (1.0 + 1e-6)
 
     # tier 1: inline slots, [N, INLINE] broadcast (no gathers)
     d_in = jnp.arange(INLINE, dtype=jnp.int32)
-    tile_in = slot_tile(tmin_x[:, None], tmin_y[:, None], w_safe[:, None],
-                        d_in[None, :])
+    tile_in = slot_tile(tmin_x[:, None], tmin_y[:, None], recip_w[:, None],
+                        w_safe[:, None], d_in[None, :])
     ok_in = d_in[None, :] < jnp.minimum(count, INLINE)[:, None]
     key_in = jnp.where(
         ok_in, (tile_in << rank_bits) | rank[:, None], sentinel_key
     ).reshape(-1)
+    gid_in = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, INLINE)).reshape(-1)
 
     # tier 2: pool slots. Segment id/start/end via mark-scatter + cummax
-    # (no per-slot gathers into [N] except the two packed tables below).
+    # (no per-slot gathers into [N] except the packed table below).
     j = jnp.arange(pool, dtype=jnp.int32)
     # unclipped offsets: gaussians whose segment starts beyond the pool drop
     # out entirely (mode="drop") instead of corrupting the last slot
@@ -159,35 +166,39 @@ def bin_instances(
     #                                 for dead slots; ok_pool masks those)
     ok_pool = (j < seg_end) & (j >= seg_start) & (pool_g >= 0)
     pg = jnp.clip(pool_g, 0, n - 1)
-    # packed per-gaussian tables -> ONE scalar gather each
-    table_a = tmin_x | (tmin_y << 8) | (w_safe << 16)  # 8+8+8 bits
-    a = table_a[pg]
-    rank_p = rank[pg]
-    d_pool = INLINE + (j - seg_start)
-    tile_p = slot_tile(a & 0xFF, (a >> 8) & 0xFF, (a >> 16) & 0xFF, d_pool)
+    # packed per-gaussian table -> ONE 2-col row gather (row gathers
+    # amortize over width; two separate scalar gathers pay twice)
+    table = jnp.stack(
+        [tmin_x | (tmin_y << 8) | (w_safe << 16), rank], axis=-1)  # [N, 2]
+    tp = jnp.take_along_axis(table, pg[:, None], axis=0)
+    a = tp[:, 0]
+    rank_p = tp[:, 1]
+    aw = (a >> 16) & 0xFF
+    # clamp: dead slots far past their segment would overflow the f32
+    # division path (ok_pool masks them anyway)
+    d_pool = jnp.minimum(INLINE + (j - seg_start), d_max)
+    tile_p = slot_tile(a & 0xFF, (a >> 8) & 0xFF,
+                       1.0 / aw.astype(jnp.float32) * (1.0 + 1e-6), aw, d_pool)
     key_pool = jnp.where(ok_pool, (tile_p << rank_bits) | rank_p,
                          sentinel_key)
 
+    # sort carries (emission index, gaussian id) — gidx falls out of the
+    # sort, no post-sort recovery gather
     keys = jnp.concatenate([key_in, key_pool])
     vals = jnp.arange(e, dtype=jnp.int32)
+    gid = jnp.concatenate([gid_in, pg])
     pad = _next_pow2(e) - e
     if pad:
         keys = jnp.pad(keys, (0, pad), constant_values=sentinel_key)
         vals = jnp.pad(vals, (0, pad), constant_values=e)
-    keys_s, em_s = jax.lax.sort((keys, vals), num_keys=1)
+        gid = jnp.pad(gid, (0, pad), constant_values=n)
+    keys_s, em_s, gid_s = jax.lax.sort((keys, vals, gid), num_keys=1)
     keys_c = keys_s[:e]
     em = em_s[:e]
 
     tile_sorted = (keys_c >> rank_bits).astype(jnp.int32)
     live = keys_c != sentinel_key
-    em_c = jnp.minimum(em, e - 1)
-    gidx = jnp.where(
-        live,
-        jnp.where(em_c < INLINE * n, em_c // INLINE,
-                  pg[jnp.minimum(jnp.maximum(em_c - INLINE * n, 0),
-                                 pool - 1)]),
-        n,
-    )
+    gidx = jnp.where(live, gid_s[:e], n)
 
     tile_ids = jnp.arange(nt, dtype=jnp.int32)
     starts = jnp.searchsorted(
@@ -197,10 +208,18 @@ def bin_instances(
     counts = ends - starts
 
     if with_inv:
+        # inverse permutation via a second sort (cheaper than an 800k
+        # scatter on TPU): em is an exact permutation of [0, e) — every
+        # emission slot appears once (live or dead) — so sorting
+        # (em, position-or-dead) by em yields inv_em directly
         pos = jnp.arange(e, dtype=jnp.int32)
-        # unclipped em: out-of-range (pad) rows drop instead of clobbering
-        inv_em = jnp.full((e,), e, jnp.int32).at[em].set(
-            jnp.where(live, pos, e), mode="drop")
+        pv = jnp.where(live, pos, e)
+        em_key = em
+        if pad:
+            em_key = jnp.pad(em_key, (0, pad), constant_values=e)
+            pv = jnp.pad(pv, (0, pad), constant_values=e)
+        _, inv_s = jax.lax.sort((em_key, pv), num_keys=1)
+        inv_em = inv_s[:e]
     else:
         inv_em = jnp.zeros((1,), jnp.int32)
 

@@ -30,8 +30,14 @@ class Projected(NamedTuple):
     color: jnp.ndarray  # [N, 3]
     opacity: jnp.ndarray  # [N]
     depth: jnp.ndarray  # [N] view-space z
-    radius: jnp.ndarray  # [N] int32 pixel radius (0 = culled)
+    radius: jnp.ndarray  # [N] int32 pixel radius (0 = culled; classic 3-sigma
+    #                      value, reported for densification stats)
     valid: jnp.ndarray  # [N] bool
+    radius_bin: jnp.ndarray  # [N] int32 opacity-tightened radius for binning:
+    #   alpha = opacity * exp(-q/2) < 1/255 outside q = 2 ln(255 opacity), and
+    #   the compositor drops alpha < 1/255 anyway, so shrinking the footprint
+    #   to min(3, sqrt(2 ln(255 op))) sigma is EXACT (the CUDA kernel uses a
+    #   fixed 3 sigma and then discards those same pixels in-kernel)
 
 
 def ndc2pix(v, size):
@@ -100,6 +106,11 @@ def project_gaussians(
     mid = 0.5 * (cxx + cyy)
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(lam1))
+    # +0.2 margin: pixels whose f32-computed alpha rounds up across the
+    # 1/255 gate stay inside the footprint (boundary-flip protection)
+    q_max = 2.0 * jnp.log(jnp.maximum(opacity_act * 255.0, 1e-12)) + 0.2
+    sig_eff = jnp.sqrt(jnp.clip(q_max, 0.0, 9.0))
+    radius_bin_f = jnp.ceil(sig_eff * jnp.sqrt(lam1))
 
     ndc_xy = p_proj[:, :2]
     if mean2d_offset_ndc is not None:
@@ -113,6 +124,8 @@ def project_gaussians(
         valid = valid & active_mask
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
     valid = valid & (radius > 0)
+    radius_bin = jnp.where(valid, radius_bin_f, 0.0).astype(jnp.int32)
+    valid = valid & (radius_bin > 0)
 
     # colors: SH eval toward the camera (reference clamps sh2rgb + 0.5 at 0)
     if override_color is not None:
@@ -132,6 +145,7 @@ def project_gaussians(
         depth=depth,
         radius=radius,
         valid=valid,
+        radius_bin=radius_bin,
     )
 
 

@@ -61,8 +61,11 @@ def _auto_pool(n: int, chunk: int, h: int, w: int) -> int:
     trained scenes; headline scenes peak higher — overflow is reported in
     n_dropped)."""
     res_scale = max((h * w) / float(1024 * 1024), 0.05)
-    # floor of 2n: tiny-resolution scenes keep proportionally huge footprints
-    pool = max(int(4 * n * res_scale), 2 * n, 2 * chunk)
+    # floor of 2n: tiny-resolution scenes keep proportionally huge
+    # footprints. Every pool slot costs sort+gather+reduction time whether
+    # live or not (headline scene: 177k live extras at 1024^2 -> 2.5n
+    # leaves 41% headroom; overflow shows up in n_dropped)
+    pool = max(int(2.5 * n * res_scale), 2 * n, 2 * chunk)
     return -(-pool // chunk) * chunk
 
 
@@ -172,7 +175,7 @@ def render(
             m, r, z, v, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
             d_max=cfg.d_max, pool=pool, chunk=cfg.chunk, with_inv=True,
         )
-    )(proj.mean2d, proj.radius, proj.depth, proj.valid)
+    )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid)
 
     # ONE wide packed gather (TPU gathers amortize over row width): pack the
     # 10 per-gaussian attributes, gather once by instance index, then build

@@ -15,9 +15,14 @@ across views:
     two neighboring key views (weights 0.75/0.5/0.25, lambda_self=0.55).
 
 TPU-first: phase C is embarrassingly parallel — the reference runs all 32
-views sequentially on one GPU; here dense views run in configurable batches
-(shardable over the device mesh), and every denoise step is one jitted
-CFG-pair UNet+ControlNet call with the cache threaded functionally.
+views sequentially on one GPU; here dense views are grouped by their
+mutual-attention weight class (3 classes x 8 views) and each class runs as
+one batched, *mesh-sharded* denoise: pass `mesh=` (a 1-D 'data' mesh) and
+the view batch, its CFG pair, and the per-view K/V sources shard over
+devices while the UNet/ControlNet weights replicate — XLA inserts the
+collectives over ICI. Anchors/keys stay sequential (their attention states
+feed later phases). Every denoise step is one jitted CFG-pair
+UNet+ControlNet call with the cache threaded functionally.
 
 View-specific prompts (refine.py:671-684): anchors get ', back/left/right
 view' suffixes, key views ', left front view' etc., dense views the base
@@ -96,14 +101,34 @@ def _cfg_eps(eps, guidance_scale):
 
 
 def make_refine_step(models: RefineModels, ddim: DDIMSchedule,
-                     guidance_scale: float, ip_scale: float):
-    """One jitted denoise step on a CFG-doubled batch with a VCR mode."""
+                     guidance_scale: float, ip_scale: float, mesh=None):
+    """One jitted denoise step on a CFG-doubled batch with a VCR mode.
+
+    mesh: optional 1-D 'data' jax.sharding.Mesh — the CFG-doubled view
+    batch (and the VCR K/V sources) shard over it."""
+
+    def _shard(tree):
+        if mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def c(a):
+            if not hasattr(a, "ndim") or a.ndim == 0:
+                return a
+            if a.shape[0] % mesh.devices.size == 0:
+                return jax.lax.with_sharding_constraint(
+                    a, NamedSharding(mesh, P("data")))
+            return a
+
+        return jax.tree_util.tree_map(c, tree)
 
     def step(latents, t, t_prev, context, control, vcr_mode, vcr_cache,
              vcr_weights):
-        lat_in = jnp.concatenate([latents] * 2, axis=0)
+        lat_in = _shard(jnp.concatenate([latents] * 2, axis=0))
         t_in = jnp.full((lat_in.shape[0],), t, jnp.int32)
-        ctrl_in = jnp.concatenate([control] * 2, axis=0)
+        ctrl_in = _shard(jnp.concatenate([control] * 2, axis=0))
+        context = _shard(context)
+        vcr_cache = _shard(vcr_cache)
         down_res, mid = models.controlnet.apply(
             models.controlnet_params, lat_in, t_in, context, ctrl_in,
             conditioning_scale=1.0,
@@ -147,9 +172,14 @@ def refine_views(
     guidance_scale: float = 7.5,
     ip_scale: float = 0.6,  # refine uses scale 0.6 (reference: refine.py:784)
     lambda_self: float = LAMBDA_SELF,
-    dense_batch: int = 6,
+    dense_batch: int = 8,
+    mesh=None,
 ):
-    """Returns refined images [32, H, W, 3] in canonical view order."""
+    """Returns refined images [32, H, W, 3] in canonical view order.
+
+    mesh: optional 1-D 'data' jax.sharding.Mesh; the dense phase (24 of 32
+    views, grouped into 3 weight classes of 8) shards its view batch over
+    the devices. dense_batch caps the per-call group size (memory)."""
     n_views = images.shape[0]
     assert n_views == 32, "the VCR topology is defined for 32 views"
     ddim = ddim or make_ddim_schedule()
@@ -175,7 +205,8 @@ def refine_views(
     t_arr = jnp.full((n_views,), t0)
     latents_noisy = add_noise(ddim, latents0, jnp.broadcast_to(noise, latents0.shape), t_arr)
 
-    run_step = make_refine_step(models, ddim, guidance_scale, ip_scale)
+    run_step = make_refine_step(models, ddim, guidance_scale, ip_scale,
+                                mesh=mesh)
     prevs = list(steps[1:]) + [-1]
 
     stored: Dict[str, List] = {}  # name -> per-step list of per-layer caches
@@ -226,18 +257,17 @@ def refine_views(
         stored[name] = caches
         refined[vi] = decode(lat)[0]
 
-    # phase C: dense views, batched
-    dense_names = [f"v{i}" for i in range(24)]
-    for g0 in range(0, 24, dense_batch):
-        names = dense_names[g0 : g0 + dense_batch]
-        idxs = [VIEW_IDX_ALL[VIEW_NAME_ALL.index(n_)] for n_ in names]
-        # all views in a group share weights only if aligned; run per weight
-        # class — simpler: require uniform weights per group by regrouping
-        groups: Dict = {}
-        for n_, vi in zip(names, idxs):
-            w = KEY_VIEW_WEIGHT_PAIR[n_]
-            groups.setdefault(w, []).append((n_, vi))
-        for (w_l, w_r), members in groups.items():
+    # phase C: dense views, grouped by mutual-attention weight class so each
+    # batch is uniform (3 classes x 8 views); each class batch runs in
+    # dense_batch-capped slices, mesh-sharded when a mesh is given
+    groups: Dict = {}
+    for n_ in [f"v{i}" for i in range(24)]:
+        vi = VIEW_IDX_ALL[VIEW_NAME_ALL.index(n_)]
+        w = KEY_VIEW_WEIGHT_PAIR[n_]
+        groups.setdefault(w, []).append((n_, vi))
+    for (w_l, w_r), class_members in groups.items():
+        for g0 in range(0, len(class_members), dense_batch):
+            members = class_members[g0 : g0 + dense_batch]
             mnames = [m[0] for m in members]
             midxs = [m[1] for m in members]
 

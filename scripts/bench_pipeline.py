@@ -1,0 +1,188 @@
+"""Measured per-stage wall-clock at the paper recipe shape on one TPU chip.
+
+Stage 1: the full jitted AHDS train step (100k gaussians, 512^2 renders,
+batch 4, full-size zero-weight SD1.5+ControlNet+IPA) — 50 real steps
+measured, x2400 extrapolated (identical static-shape steps).
+Stage 2: the COMPLETE VCR refine (32 views x 8 DDIM steps at 1024^2,
+anchors -> keys -> dense with batched dense phase) — full wall-clock.
+Stage 3: the COMPLETE 800-step reconstruction (4 orbit renders/step at
+1024^2, crop->415x290, 10*L1 + 15*LPIPS-VGG, Adam, densify at 2500) —
+full wall-clock.
+
+Weights are random/zero (structure- and shape-true): this measures
+throughput, not quality (reference baseline: ~40 min full pipeline on a
+V100/3090, README.md:104). Prints one JSON line; also appended to
+PIPELINE_BENCH.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.makedirs(".jax_cache", exist_ok=True)
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from gaussianip_tpu.data.sampler import (CameraSamplerConfig,
+                                             refine_orbit_batch)
+    from gaussianip_tpu.diffusion.lpips import LPIPS
+    from gaussianip_tpu.diffusion.unet import (ControlNetModel,
+                                               UNet2DConditionModel,
+                                               UNetConfig)
+    from gaussianip_tpu.diffusion.vae import AutoencoderKL, VAEConfig
+    from gaussianip_tpu.guidance.ipa import (AHDSGuidance, GuidanceConfig,
+                                             GuidanceModels, ImageEmbeds)
+    from gaussianip_tpu.guidance.prompts import (fake_text_encoder,
+                                                 make_prompt_embeddings)
+    from gaussianip_tpu.human.skeleton import Skeleton
+    from gaussianip_tpu.human.smplx_jax import make_test_model
+    from gaussianip_tpu.model.adam import AdamHyper
+    from gaussianip_tpu.model.gaussians import create_from_pcd
+    from gaussianip_tpu.ops.knn import mean_dist2_3nn
+    from gaussianip_tpu.render.render import RenderConfig, render
+    from gaussianip_tpu.system.refine import (RefineModels, VIEW_NAME_ALL,
+                                              crop_and_downsample,
+                                              refine_views)
+    from gaussianip_tpu.system.stage1 import (Stage1Config, init_train_state,
+                                              make_train_step)
+    from gaussianip_tpu.system.stage3 import Stage3Config, train_stage3
+    from gaussianip_tpu.data.cameras import camera_from_c2w
+
+    which = set((sys.argv[1] if len(sys.argv) > 1 else "123"))
+    rng = np.random.default_rng(0)
+    dev = jax.devices()[0]
+    key = jax.random.PRNGKey(0)
+    results = {"device": str(dev)}
+
+    # full-size diffusion stack, zero/random bf16 weights
+    ucfg = UNetConfig(lora_rank=128, ip_tokens=4, dtype=jnp.bfloat16)
+    unet = UNet2DConditionModel(ucfg)
+    cn = ControlNetModel(UNetConfig(dtype=jnp.bfloat16))
+    vae = AutoencoderKL(VAEConfig(dtype=jnp.bfloat16))
+    lat0 = jnp.zeros((1, 8, 8, 4), jnp.bfloat16)
+    t0_ = jnp.zeros((1,), jnp.int32)
+    ctx0 = jnp.zeros((1, 81, 768), jnp.bfloat16)
+    cimg0 = jnp.zeros((1, 64, 64, 3), jnp.bfloat16)
+    mk = lambda shapes: jax.tree_util.tree_map(
+        lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes)
+    up = jax.device_put(mk(jax.eval_shape(unet.init, key, lat0, t0_, ctx0)),
+                        dev)
+    cp = jax.device_put(mk(jax.eval_shape(cn.init, key, lat0, t0_,
+                                          ctx0[:, :77], cimg0)), dev)
+    vp = jax.device_put(mk(jax.eval_shape(
+        vae.init, key, jnp.zeros((1, 64, 64, 3), jnp.bfloat16))), dev)
+
+    # avatar at recipe scale
+    sk = Skeleton(_test_model=make_test_model(rng, n_verts=2000, n_faces=3000))
+    sk.forward_smplx()
+    sk.scale(-10)
+    pts = sk.sample_smplx_points(100_000)
+    gs = create_from_pcd(pts, np.full((100_000, 3), 0.5, np.float32),
+                         1 << 17, mean_dist2_3nn(jnp.asarray(pts)))
+    gs = jax.device_put(gs, dev)
+
+    # ---- stage 1 ----
+    if "1" in which:
+        models = GuidanceModels(unet, up, cn, cp, vae, vp)
+        pe = make_prompt_embeddings(fake_text_encoder(77, 768), "a person",
+                                    "bad quality", "")
+        img = ImageEmbeds(pos=jnp.zeros((1, 4, 768)),
+                          null=jnp.zeros((1, 4, 768)),
+                          neg=jnp.zeros((1, 4, 768)))
+        guidance = AHDSGuidance(models, pe, img, GuidanceConfig())
+        ts = init_train_state(gs)
+        cfg = Stage1Config()
+        cam_cfg = CameraSamplerConfig(height=512, width=512, batch_size=4)
+        step_fn = make_train_step(cfg, cam_cfg, RenderConfig(d_max=16),
+                                  AdamHyper(), guidance, sk.points3d)
+        k = jax.random.PRNGKey(1)
+        t0 = time.time()
+        ts1, m = step_fn(ts, k)
+        float(m["loss"])
+        results["stage1_compile_s"] = round(time.time() - t0, 1)
+        nsteps = 50
+        t0 = time.time()
+        for _ in range(nsteps):
+            k, kk = jax.random.split(k)
+            ts1, m = step_fn(ts1, kk)
+        float(m["loss"])
+        step_ms = (time.time() - t0) / nsteps * 1000
+        results["stage1_step_ms"] = round(step_ms, 1)
+        results["stage1_2400_steps_min"] = round(step_ms * 2.4 / 60, 2)
+        print("stage1:", results["stage1_step_ms"], "ms/step", flush=True)
+
+    # ---- stage 2 ----
+    if "2" in which:
+        rm = RefineModels(unet, up, cn, cp, vae, vp)
+        imgs = jax.device_put(
+            jnp.asarray(rng.uniform(0, 1, (32, 1024, 1024, 3))
+                        .astype(np.float32)), dev)
+        ctrl = jax.device_put(
+            jnp.asarray(rng.uniform(0, 1, (32, 1024, 1024, 3))
+                        .astype(np.float32)), dev)
+        contexts = {nm: jnp.zeros((2, 81, 768), jnp.bfloat16)
+                    for nm in VIEW_NAME_ALL}
+        t0 = time.time()
+        refined = refine_views(rm, imgs, ctrl, contexts, jax.random.PRNGKey(2))
+        refined.block_until_ready()
+        np.asarray(refined[0, 0, 0])
+        wall = time.time() - t0
+        results["stage2_total_s_incl_compile"] = round(wall, 1)
+        # second run = steady-state (caches warm)
+        t0 = time.time()
+        refined = refine_views(rm, imgs, ctrl, contexts, jax.random.PRNGKey(3))
+        np.asarray(refined[0, 0, 0])
+        results["stage2_wall_s"] = round(time.time() - t0, 1)
+        targets = crop_and_downsample(refined)
+        results["stage2_targets"] = list(targets.shape)
+        print("stage2:", results["stage2_wall_s"], "s", flush=True)
+
+    # ---- stage 3 ----
+    if "3" in which:
+        lp = LPIPS()
+        x0 = jnp.zeros((1, 415, 290, 3))
+        lkey = jax.random.PRNGKey(9)
+        lparams = jax.device_put(lp.init(lkey, x0, x0), dev)
+        lpips_fn = lambda x, y: lp.apply(lparams, x, y)
+        orbit = refine_orbit_batch(32, 0.0, 1.8, 40.0, 1024, 1024)
+        refined_small = jax.device_put(
+            jnp.asarray(rng.uniform(0, 1, (32, 415, 290, 3))
+                        .astype(np.float32)), dev)
+        s3 = Stage3Config(height=1024, width=1024,
+                          refine_start_step=2400, max_steps=800)
+        ts3 = init_train_state(gs)
+        t0 = time.time()
+        ts3 = train_stage3(ts3, s3, RenderConfig(), AdamHyper(), orbit,
+                           refined_small, jax.random.PRNGKey(11),
+                           lpips_fn=lpips_fn)
+        jax.block_until_ready(ts3.gaussians.xyz)
+        np.asarray(ts3.gaussians.xyz[0])
+        results["stage3_wall_s_incl_compile"] = round(time.time() - t0, 1)
+        print("stage3:", results["stage3_wall_s_incl_compile"], "s", flush=True)
+
+    if all(s in which for s in "123"):
+        total_min = (results["stage1_2400_steps_min"]
+                     + results["stage2_wall_s"] / 60
+                     + results["stage3_wall_s_incl_compile"] / 60)
+        results["pipeline_total_min"] = round(total_min, 1)
+        results["vs_reference_40min"] = round(40.0 / total_min, 2)
+    print(json.dumps(results))
+    try:
+        with open("PIPELINE_BENCH.json", "w") as f:
+            json.dump(results, f, indent=1)
+    except Exception:
+        pass
+
+
+if __name__ == "__main__":
+    main()

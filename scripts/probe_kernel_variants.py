@@ -197,12 +197,47 @@ def trivial(x):
 
 t_rpc = timeit(trivial, data)
 print(f"rpc={t_rpc*1000:.1f}ms")
-r_sync = make(k_sync, 1)
-r_v2 = make(cp._fwd_kernel, 2)
-o1 = float(r_sync(data))
-o2 = float(r_v2(data))
-print("outputs match:", abs(o1 - o2) < 1e-3 * max(abs(o1), 1), o1, o2)
-t1 = max(timeit(r_sync, data) - t_rpc, 1e-9) / 6
-t2 = max(timeit(r_v2, data) - t_rpc, 1e-9) / 6
-print(f"sync single buf: {t1*1000:7.2f} ms")
-print(f"v2 dyn dbl buf:  {t2*1000:7.2f} ms")
+def make_chunk(ch):
+    @jax.jit
+    def run(data):
+        s = jnp.float32(0.0)
+        for _ in range(6):
+            out = pl.pallas_call(
+                functools.partial(cp._fwd_kernel, chunk=ch, tile=tile),
+                grid_spec=grid_spec_ch(ch),
+                out_shape=jax.ShapeDtypeStruct((batch, nt, 8, tile * tile),
+                                               jnp.float32),
+            )(starts, cnts, data + s * 1e-12, featpix_host)
+            s = jnp.sum(out[:, ::16, :5])
+        return s
+    return run
+
+
+def grid_spec_ch(ch):
+    p = tile * tile
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, p), lambda bb, tt, sb, st: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, p),
+                               lambda bb, tt, sb, st: (bb, tt, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, ch), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+
+outs = {}
+for ch in (128, 256, 512):
+    r = make_chunk(ch)
+    outs[ch] = float(r(data))
+    t = max(timeit(r, data) - t_rpc, 1e-9) / 6
+    print(f"v2 chunk={ch}: {t*1000:7.2f} ms  out={outs[ch]:.2f}")
+print("outputs consistent:",
+      all(abs(outs[c] - outs[128]) < 1e-3 * abs(outs[128]) for c in outs))

@@ -97,7 +97,9 @@ def main():
     print(f"rpc_floor_ms={t_rpc*1000:.1f}")
 
     def mix_op(carry, st):
-        return st.replace(opacity=st.opacity + carry * 1e-12)
+        # perturb xyz: EVERY stage (projection, binning, compositing) must
+        # depend on the carry or XLA hoists it out of the K-chain (CSE)
+        return st.replace(xyz=st.xyz + carry * 1e-12)
 
     deg = state.active_sh_degree
     scales_fn = lambda st: st.get_scaling()
