@@ -107,54 +107,68 @@ class LoRADense(nn.Module):
         return y
 
 
-# above this many score entries per (batch, head), attention switches to the
-# KV-chunked online-softmax path (XLA would otherwise materialize the full
-# [Sq, Sk] logits — 51 GB at the 1024^2-refine 16384-token layers; the
-# reference leans on xformers for the same reason, ipa_guidance.py:180)
-_CHUNKED_SCORE_LIMIT = 4096 * 4096 * 2
+# above this many bytes of materialized f32 scores (B*H*Sq*Sk*4), attention
+# switches to the chunked online-softmax path (XLA would otherwise
+# materialize the full logits — 68 GB at the 1024^2-refine 16384-token
+# layers; the reference leans on xformers for the same reason,
+# ipa_guidance.py:180). Tuned so the stage-1 ANPG layers (6.4 GB transient,
+# measured 2x faster through plain XLA) stay unchunked.
+_CHUNKED_SCORE_BYTES = 7e9
 
 
-def _attend_chunked(q, k, v, kv_chunk: int = 2048):
-    """Exact attention via lax.scan over KV chunks with a running
-    (max, denominator, accumulator) — flash-attention recurrence expressed
-    in XLA ops, so the matmuls run at full MXU speed for any head dim.
+def _attend_chunked(q, k, v, q_chunk: int = 1024, kv_chunk: int = 1024):
+    """Exact attention, chunked over BOTH query and KV with a running
+    (max, denominator, accumulator) — the flash-attention recurrence
+    expressed in XLA ops, so the matmuls run at full MXU speed for any head
+    dim while the live score block stays at B*H*q_chunk*kv_chunk floats.
     q/k/v: [B, S, H, Dh]."""
     b, sq, h, dh = q.shape
     sk = k.shape[1]
+    nq = -(-sq // q_chunk)
     nc = -(-sk // kv_chunk)
-    pad = nc * kv_chunk - sk
-    if pad:
-        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    qpad = nq * q_chunk - sq
+    kpad = nc * kv_chunk - sk
+    if qpad:
+        q = jnp.pad(q, ((0, 0), (0, qpad), (0, 0), (0, 0)))
+    if kpad:
+        k = jnp.pad(k, ((0, 0), (0, kpad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, kpad), (0, 0), (0, 0)))
     scale = 1.0 / (dh ** 0.5)
-    qf = (q * scale).transpose(0, 2, 1, 3)  # [B, H, Sq, Dh]
+    qf = (q * scale).transpose(0, 2, 1, 3).reshape(b, h, nq, q_chunk, dh)
     kc = k.transpose(0, 2, 1, 3).reshape(b, h, nc, kv_chunk, dh)
     vc = v.transpose(0, 2, 1, 3).reshape(b, h, nc, kv_chunk, dh)
     kv_mask = (jnp.arange(nc * kv_chunk) < sk).reshape(nc, kv_chunk)
 
-    def body(carry, xs):
-        m, den, acc = carry
-        kb, vb, mask = xs  # [B, H, C, Dh], [B, H, C, Dh], [C]
-        s = jnp.einsum("bhqd,bhcd->bhqc", qf, kb,
-                       preferred_element_type=jnp.float32)
-        s = jnp.where(mask[None, None, None, :], s, -1e30)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new[..., None])
-        den = den * alpha + jnp.sum(p, axis=-1)
-        acc = acc * alpha[..., None] + jnp.einsum(
-            "bhqc,bhcd->bhqd", p.astype(vb.dtype), vb,
-            preferred_element_type=jnp.float32)
-        return (m_new, den, acc), None
+    def q_block(qb):  # [B, H, qc, Dh]
+        def body(carry, xs):
+            m, den, acc = carry
+            kb, vb, mask = xs
+            s = jnp.einsum("bhqd,bhcd->bhqc", qb, kb,
+                           preferred_element_type=jnp.float32)
+            s = jnp.where(mask[None, None, None, :], s, -1e30)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new[..., None])
+            den = den * alpha + jnp.sum(p, axis=-1)
+            acc = acc * alpha[..., None] + jnp.einsum(
+                "bhqc,bhcd->bhqd", p.astype(vb.dtype), vb,
+                preferred_element_type=jnp.float32)
+            return (m_new, den, acc), None
 
-    init = (jnp.full((b, h, sq), -jnp.inf, jnp.float32),
-            jnp.zeros((b, h, sq), jnp.float32),
-            jnp.zeros((b, h, sq, dh), jnp.float32))
-    (m, den, acc), _ = jax.lax.scan(
-        body, init,
-        (kc.transpose(2, 0, 1, 3, 4), vc.transpose(2, 0, 1, 3, 4), kv_mask))
-    out = acc / den[..., None]
-    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+        init = (jnp.full((b, h, q_chunk), -jnp.inf, jnp.float32),
+                jnp.zeros((b, h, q_chunk), jnp.float32),
+                jnp.zeros((b, h, q_chunk, dh), jnp.float32))
+        (m, den, acc), _ = jax.lax.scan(
+            body, init,
+            (kc.transpose(2, 0, 1, 3, 4), vc.transpose(2, 0, 1, 3, 4),
+             kv_mask))
+        return acc / den[..., None]
+
+    out = jax.lax.map(q_block, qf.transpose(2, 0, 1, 3, 4))  # [nq,B,H,qc,Dh]
+    out = out.transpose(1, 0, 3, 2, 4).reshape(b, nq * q_chunk, h, dh)
+    if qpad:
+        out = out[:, :sq]
+    return out.astype(q.dtype)
 
 
 def _attend(q, k, v, heads: int):
@@ -165,7 +179,7 @@ def _attend(q, k, v, heads: int):
     qh = q.reshape(b, sq, heads, hd)
     kh = k.reshape(b, sk, heads, hd)
     vh = v.reshape(b, sk, heads, hd)
-    if sq * sk > _CHUNKED_SCORE_LIMIT:
+    if b * heads * sq * sk * 4 > _CHUNKED_SCORE_BYTES:
         o = _attend_chunked(qh, kh, vh)
     else:
         o = jax.nn.dot_product_attention(qh, kh, vh)

@@ -72,8 +72,11 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
-        o = jax.nn.dot_product_attention(q[:, :, None], k[:, :, None],
-                                         v[:, :, None])[:, :, 0]
+        # shared dispatcher: at 128^2 latents (16384 tokens) the full
+        # single-head score matrix is GBs — goes through the chunked path
+        from .blocks import _attend
+
+        o = _attend(q, k, v, heads=1)
         o = nn.Dense(c, dtype=self.dtype, name="to_out")(o)
         return x + o.reshape(b, h, w, c)
 

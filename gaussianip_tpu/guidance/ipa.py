@@ -86,6 +86,21 @@ class AHDSGuidance:
         self.ddim = ddim or make_ddim_schedule()
         self.ahds = ahds or make_ahds_schedule()
 
+    @property
+    def jit_params(self):
+        """Model weights as a pytree for threading through jit as ARGUMENTS
+        (closed-over multi-GB params bake into the lowered graph as
+        constants and stall the remote compiler — NOTES gotcha #2)."""
+        m = self.models
+        return (m.unet_params, m.controlnet_params, m.vae_params)
+
+    def with_params(self, p):
+        """Rebind the (possibly traced) param pytree from `jit_params`."""
+        m = self.models._replace(
+            unet_params=p[0], controlnet_params=p[1], vae_params=p[2])
+        return AHDSGuidance(m, self.prompt_embeds, self.image_embeds,
+                            self.cfg, self.ddim, self.ahds)
+
     def _context(self, view_aux, batch_size):
         """[3B, S(+T_ip), D] stacked (pos, neg, null) conditioning."""
         text = self.prompt_embeds.get_text_embeddings(

@@ -122,19 +122,21 @@ def make_refine_step(models: RefineModels, ddim: DDIMSchedule,
 
         return jax.tree_util.tree_map(c, tree)
 
-    def step(latents, t, t_prev, context, control, vcr_mode, vcr_cache,
-             vcr_weights):
+    def step(unet_params, controlnet_params, latents, t, t_prev, context,
+             control, vcr_mode, vcr_cache, vcr_weights):
+        # params ride as ARGUMENTS: closed-over multi-GB weights get baked
+        # into the lowered graph as constants (NOTES gotcha #2)
         lat_in = _shard(jnp.concatenate([latents] * 2, axis=0))
         t_in = jnp.full((lat_in.shape[0],), t, jnp.int32)
         ctrl_in = _shard(jnp.concatenate([control] * 2, axis=0))
         context = _shard(context)
         vcr_cache = _shard(vcr_cache)
         down_res, mid = models.controlnet.apply(
-            models.controlnet_params, lat_in, t_in, context, ctrl_in,
+            controlnet_params, lat_in, t_in, context, ctrl_in,
             conditioning_scale=1.0,
         )
         eps, cache = models.unet.apply(
-            models.unet_params, lat_in, t_in, context,
+            unet_params, lat_in, t_in, context,
             down_block_residuals=down_res, mid_block_residual=mid,
             ip_scale=ip_scale, vcr_mode=vcr_mode, vcr_cache=vcr_cache,
             vcr_weights=vcr_weights,
@@ -151,10 +153,11 @@ def make_refine_step(models: RefineModels, ddim: DDIMSchedule,
         key = (vcr_mode, latents.shape)
         if key not in jitted:
             jitted[key] = jax.jit(
-                lambda l, tt, tp, cx, ct, vc, vw: step(
-                    l, tt, tp, cx, ct, vcr_mode, vc, vw),
+                lambda up, cnp, l, tt, tp, cx, ct, vc, vw: step(
+                    up, cnp, l, tt, tp, cx, ct, vcr_mode, vc, vw),
             )
-        return jitted[key](latents, t, t_prev, context, control, vcr_cache,
+        return jitted[key](models.unet_params, models.controlnet_params,
+                           latents, t, t_prev, context, control, vcr_cache,
                            vcr_weights)
 
     return run
@@ -172,7 +175,7 @@ def refine_views(
     guidance_scale: float = 7.5,
     ip_scale: float = 0.6,  # refine uses scale 0.6 (reference: refine.py:784)
     lambda_self: float = LAMBDA_SELF,
-    dense_batch: int = 8,
+    dense_batch: int = 4,  # 4 fits single-chip HBM at 1024^2; pass 8 on a mesh
     mesh=None,
 ):
     """Returns refined images [32, H, W, 3] in canonical view order.
@@ -192,110 +195,129 @@ def refine_views(
 
     vae = models.vae
 
-    def encode(img):
+    @jax.jit
+    def _encode1(vp, img):
         x = img * 2.0 - 1.0
-        return vae.apply(models.vae_params, x, method=vae.encode)
+        return vae.apply(vp, x, method=vae.encode)
+
+    @jax.jit
+    def _decode1(vp, lat):
+        x = vae.apply(vp, lat, method=vae.decode)
+        return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+
+    vae_bs = 2  # 1024^2 VAE activations are ~GB-scale per image: batch it
+
+    def encode(img):
+        return jnp.concatenate(
+            [_encode1(models.vae_params, img[i : i + vae_bs])
+             for i in range(0, img.shape[0], vae_bs)], axis=0)
 
     def decode(lat):
-        x = vae.apply(models.vae_params, lat, method=vae.decode)
-        return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+        outs = []
+        for i in range(0, lat.shape[0], vae_bs):
+            o = _decode1(models.vae_params, lat[i : i + vae_bs])
+            o.block_until_ready()  # serialize: each 1024^2 decode holds
+            outs.append(o)         # multi-GB activations
+        return jnp.concatenate(outs, axis=0)
 
     latents0 = encode(images)  # [32, h, w, 4]
     noise = jax.random.normal(k_noise, latents0.shape[1:])[None]
     t_arr = jnp.full((n_views,), t0)
-    latents_noisy = add_noise(ddim, latents0, jnp.broadcast_to(noise, latents0.shape), t_arr)
+    lat = add_noise(ddim, latents0, jnp.broadcast_to(noise, latents0.shape),
+                    t_arr)
 
     run_step = make_refine_step(models, ddim, guidance_scale, ip_scale,
                                 mesh=mesh)
     prevs = list(steps[1:]) + [-1]
 
-    stored: Dict[str, List] = {}  # name -> per-step list of per-layer caches
-    refined = [None] * n_views
+    # STEP-MAJOR schedule: all 32 views advance one denoise step together
+    # (anchors batched -> keys batched -> dense groups), so only the CURRENT
+    # step's mutual-attention states stay in HBM (~0.9 GB) instead of all 8
+    # steps x 8 stored views (~7 GB, which does not fit beside the weights
+    # on one 16 GB chip). Mathematically identical to the reference's
+    # view-major loop: a view's step-si attention sources are the stored
+    # views' step-si hidden states either way (reference: refine.py:161-239).
+    anchor_names = ["front", "back", "left", "right"]
+    key_names = ["k0", "k1", "k2", "k3"]
+    anchor_idxs = [VIEW_IDX_ALL[VIEW_NAME_ALL.index(n_)] for n_ in anchor_names]
+    key_idxs = [VIEW_IDX_ALL[VIEW_NAME_ALL.index(n_)] for n_ in key_names]
 
-    def denoise_view(name, view_idx, vcr_mode, cache_per_step=None,
-                     weights=None, batch_names=None):
-        lat = latents_noisy[view_idx] if isinstance(view_idx, int) else (
-            latents_noisy[jnp.asarray(view_idx)])
-        if isinstance(view_idx, int):
-            lat = lat[None]
-            ctrl = control_images[view_idx][None]
-            ctx = contexts[name]
-        else:
-            ctrl = control_images[jnp.asarray(view_idx)]
-            # stack CFG pairs: [uncond...; cond...]
-            un = jnp.stack([contexts[n_][0] for n_ in batch_names])
-            co = jnp.stack([contexts[n_][1] for n_ in batch_names])
-            ctx = jnp.concatenate([un, co], axis=0)
-        if isinstance(view_idx, int):
-            ctx = contexts[name]  # already [2, S, D]
-        caches = []
-        for si, (t, tp) in enumerate(zip(steps, prevs)):
-            vc = None if cache_per_step is None else cache_per_step(si, lat.shape[0])
-            lat, cache = run_step(lat, int(t), int(tp), ctx, ctrl,
-                                  vcr_mode=vcr_mode, vcr_cache=vc,
-                                  vcr_weights=weights)
-            if cache is not None:
-                caches.append(cache)
-        return lat, caches
+    def batch_ctx(names):
+        un = jnp.stack([contexts[n_][0] for n_ in names])
+        co = jnp.stack([contexts[n_][1] for n_ in names])
+        return jnp.concatenate([un, co], axis=0)
 
-    # phase A: anchors store
-    for name in ["front", "back", "left", "right"]:
-        vi = VIEW_IDX_ALL[VIEW_NAME_ALL.index(name)]
-        lat, caches = denoise_view(name, vi, "store")
-        stored[name] = caches
-        refined[vi] = decode(lat)[0]
+    def index_cache(cache, names):
+        """name -> (cache ref, uncond row, cond row): views reference rows
+        of the batched cache arrays — no per-view copy (HBM is tight)."""
+        b = len(names)
+        return {n_: (cache, i, b + i) for i, n_ in enumerate(names)}
 
-    # phase B: key views (concat with their anchor, store their own)
-    for name in ["k0", "k1", "k2", "k3"]:
-        vi = VIEW_IDX_ALL[VIEW_NAME_ALL.index(name)]
-        anchor = ANCHOR_OF_KEY[name]
+    def stack_srcs(cur, src_names):
+        """per-layer [2B, S, D] sources for a batch (uncond rows; cond rows)."""
+        n_layers = len(cur[src_names[0]][0])
+        out = []
+        for li in range(n_layers):
+            uns = [cur[s][0][li][cur[s][1]] for s in src_names]
+            cos = [cur[s][0][li][cur[s][2]] for s in src_names]
+            out.append(jnp.stack(uns + cos, axis=0))
+        return out
 
-        def cache_fn(si, b, anchor=anchor):
-            return stored[anchor][si]
+    ctx_a = batch_ctx(anchor_names)
+    ctx_k = batch_ctx(key_names)
+    ctrl_a = control_images[jnp.asarray(anchor_idxs)]
+    ctrl_k = control_images[jnp.asarray(key_idxs)]
 
-        lat, caches = denoise_view(name, vi, "key", cache_per_step=cache_fn)
-        stored[name] = caches
-        refined[vi] = decode(lat)[0]
-
-    # phase C: dense views, grouped by mutual-attention weight class so each
-    # batch is uniform (3 classes x 8 views); each class batch runs in
-    # dense_batch-capped slices, mesh-sharded when a mesh is given
+    # dense weight classes (uniform vcr weights per batch)
     groups: Dict = {}
     for n_ in [f"v{i}" for i in range(24)]:
         vi = VIEW_IDX_ALL[VIEW_NAME_ALL.index(n_)]
         w = KEY_VIEW_WEIGHT_PAIR[n_]
         groups.setdefault(w, []).append((n_, vi))
+    dense_batches = []
     for (w_l, w_r), class_members in groups.items():
         for g0 in range(0, len(class_members), dense_batch):
             members = class_members[g0 : g0 + dense_batch]
             mnames = [m[0] for m in members]
             midxs = [m[1] for m in members]
+            dense_batches.append((
+                (w_l, w_r), mnames, midxs, batch_ctx(mnames),
+                control_images[jnp.asarray(midxs)],
+            ))
 
-            def cache_fn(si, b, mnames=mnames):
-                # batch the per-layer sources over group members x CFG pair
-                def stack(side):
-                    per_layer = []
-                    n_layers = len(stored["front"][si])
-                    for li in range(n_layers):
-                        uns, cos = [], []
-                        for n_ in mnames:
-                            src_name = KEY_VIEW_NAME_PAIR[n_][side]
-                            arr = stored[src_name][si][li]  # [2, S, D]
-                            uns.append(arr[0])
-                            cos.append(arr[1])
-                        per_layer.append(jnp.stack(uns + cos, axis=0))
-                    return per_layer
-
-                return (stack(0), stack(1))
-
+    for t, tp in zip(steps, prevs):
+        t, tp = int(t), int(tp)
+        # phase A: anchors (batched) store their attention states
+        lat_a, cache_a = run_step(lat[jnp.asarray(anchor_idxs)], t, tp,
+                                  ctx_a, ctrl_a, vcr_mode="store")
+        cur = index_cache(cache_a, anchor_names)
+        lat = lat.at[jnp.asarray(anchor_idxs)].set(lat_a)
+        # phase B: keys (batched) attend over concat(self, their anchor)
+        src_k = stack_srcs(cur, [ANCHOR_OF_KEY[n_] for n_ in key_names])
+        lat_k, cache_k = run_step(lat[jnp.asarray(key_idxs)], t, tp,
+                                  ctx_k, ctrl_k, vcr_mode="key",
+                                  vcr_cache=src_k)
+        cur.update(index_cache(cache_k, key_names))
+        lat = lat.at[jnp.asarray(key_idxs)].set(lat_k)
+        # phase C: dense groups blend self + two key views
+        for (w_l, w_r), mnames, midxs, ctx_d, ctrl_d in dense_batches:
+            src_l = stack_srcs(cur, [KEY_VIEW_NAME_PAIR[n_][0]
+                                     for n_ in mnames])
+            src_r = stack_srcs(cur, [KEY_VIEW_NAME_PAIR[n_][1]
+                                     for n_ in mnames])
             weights = {"w_l": w_l, "w_r": w_r, "lambda_self": lambda_self}
-            lat, _ = denoise_view(None, midxs, "dense", cache_per_step=cache_fn,
-                                  weights=weights, batch_names=mnames)
-            dec = decode(lat)
-            for j, vi in enumerate(midxs):
-                refined[vi] = dec[j]
+            lat_d, _ = run_step(lat[jnp.asarray(midxs)], t, tp, ctx_d,
+                                ctrl_d, vcr_mode="dense",
+                                vcr_cache=(src_l, src_r),
+                                vcr_weights=weights)
+            lat = lat.at[jnp.asarray(midxs)].set(lat_d)
+        # sync per step: async dispatch would otherwise keep several steps'
+        # attention caches alive at once and exhaust HBM
+        lat.block_until_ready()
 
-    return jnp.stack(refined, axis=0)
+    # drop the final step's attention caches before the decode sweep
+    del cur, cache_a, cache_k, src_k, src_l, src_r, lat_a, lat_k, lat_d
+    return decode(lat)
 
 
 def crop_and_downsample(images):

@@ -122,7 +122,11 @@ def make_train_step(
 
         return jax.tree_util.tree_map(constrain, x)
 
-    def step_fn(ts: TrainState, key):
+    def step_fn(ts: TrainState, key, gp):
+        # guidance params ride as a jit ARGUMENT (gp): closed-over multi-GB
+        # weights would be baked into the lowered graph as constants and
+        # stall the compiler (NOTES gotcha #2)
+        g_call = guidance if gp is None else guidance.with_params(gp)
         k_cam, k_guid = jax.random.split(key)
         batch = sample_train_batch(cam_cfg, k_cam, ts.step)
         batch = shard_view(batch)
@@ -140,7 +144,7 @@ def make_train_step(
 
         def loss_fn(g: GaussianState, offset):
             out = render(g, cams, bg, render_cfg, mean2d_offset=offset)
-            gout = guidance(
+            gout = g_call(
                 ts.step, k_guid, out.rgb, pose_images,
                 {
                     "all_vis": all_vis,
@@ -194,7 +198,13 @@ def make_train_step(
         }
         return TrainState(new_g, new_opt, stats, ts.step + 1), metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+    gp0 = getattr(guidance, "jit_params", None)
+
+    def call(ts, key):
+        return jitted(ts, key, gp0)
+
+    return call
 
 
 def make_densify_fns(cfg: Stage1Config):

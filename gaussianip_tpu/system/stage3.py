@@ -143,14 +143,45 @@ def train_stage3(
         )
         return TrainState(g, opt, stats, ts.step), dropped
 
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(ts, keys):
+        """Scan a block of steps in ONE dispatch: per-step host dispatch
+        through the device tunnel costs more than the step itself."""
+        def body(ts, k):
+            ts, m = step_fn(ts, k)
+            return ts, None
+
+        ts, _ = jax.lax.scan(body, ts, keys)
+        return ts
+
     n_steps = cfg.max_steps if n_steps is None else n_steps
     start = int(ts.step)
-    for i in range(start, start + n_steps):
-        key, k = jax.random.split(key)
-        ts, metrics = step_fn(ts, k)
-        if i + cfg.refine_start_step == cfg.densify_at_global_step:
+    end = start + n_steps
+    densify_i = cfg.densify_at_global_step - cfg.refine_start_step
+    i = start
+    while i < end:
+        if log_fn is not None and i % log_every == 0:
+            # boundary step runs singly so its metrics can be logged
+            key, k = jax.random.split(key)
+            ts, metrics = step_fn(ts, k)
+            log_fn(i, jax.device_get(metrics))
+            i += 1
+        else:
+            stop = (((i // log_every) + 1) * log_every
+                    if log_fn is not None else end)
+            stop = min(end, stop)
+            if i < densify_i + 1 <= stop:
+                stop = densify_i + 1
+            keys = jax.random.split(key, stop - i + 1)
+            key = keys[0]
+            if stop - i == 1:
+                ts, _ = step_fn(ts, keys[1])
+            else:
+                ts = run_chunk(ts, keys[1:])
+            i = stop
+        if i == densify_i + 1:
             key, k = jax.random.split(key)
             ts, _ = densify(ts, k)
-        if log_fn is not None and i % log_every == 0:
-            log_fn(i, jax.device_get(metrics))
     return ts
