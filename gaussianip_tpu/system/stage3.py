@@ -128,6 +128,8 @@ def train_stage3(
     n_steps: Optional[int] = None,
     log_every: int = 100,
     log_fn=None,
+    scan_chunk: int = 25,  # steps per device dispatch (large chunks at
+    #                        1024^2 have faulted the device runtime)
 ):
     step_fn = make_stage3_step(cfg, render_cfg, adam_hyper, orbit,
                                refined_targets, lpips_fn)
@@ -171,7 +173,7 @@ def train_stage3(
         else:
             stop = (((i // log_every) + 1) * log_every
                     if log_fn is not None else end)
-            stop = min(end, stop)
+            stop = min(end, stop, i + scan_chunk)
             if i < densify_i + 1 <= stop:
                 stop = densify_i + 1
             keys = jax.random.split(key, stop - i + 1)
