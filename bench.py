@@ -40,7 +40,35 @@ def main():
     from gaussianip_tpu.model.gaussians import create_from_pcd
     from gaussianip_tpu.ops.camera_math import look_at_c2w
     from gaussianip_tpu.ops.knn import mean_dist2_3nn
-    from gaussianip_tpu.render.render import RenderConfig, render
+    from gaussianip_tpu.render.render import (RenderConfig,
+                                              count_live_instances, render)
+
+    extras = {}
+
+    # UNet+ControlNet denoise rate FIRST (r02 lost this metric to a timeout
+    # when it ran last on a cold cache): subprocess with its own slice of
+    # the budget; its compiles land in the shared persistent cache either
+    # way, so a late retry (below) is cheap
+    def run_unet_bench(slice_s):
+        import subprocess
+        import sys
+
+        try:
+            r = subprocess.run(
+                [sys.executable, "bench_unet.py"], capture_output=True,
+                text=True, timeout=slice_s,
+            )
+            for line in reversed(r.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    return json.loads(line)
+            return {"unet_denoise_error":
+                    (r.stderr.strip().splitlines() or ["no output"])[-1][:80]}
+        except subprocess.TimeoutExpired:
+            return {"unet_denoise_error": "timeout"}
+        except Exception as e:
+            return {"unet_denoise_error": str(e)[:80]}
+
+    extras.update(run_unet_bench(min(max(budget_s * 0.45, 60), 300)))
 
     rng = np.random.default_rng(0)
     n = 100_000
@@ -121,7 +149,9 @@ def main():
     t_fwd = max(timeit(fwd_k, state) - t_rpc, 1e-9) / K
     t_fb = max(timeit(fwdbwd_k, state) - t_rpc, 1e-9) / K
 
-    extras = {}
+    # measured live instance count on THIS scene (roofline inputs; ADVICE
+    # r02: the old hard-coded 400k was wrong for any other scene)
+    n_live = int(jax.device_get(count_live_instances(state, cams, cfg))[0])
 
     # stage-1 training shape: 512^2, camera batch 4 (the hot loop)
     res2, b2 = 512, 4
@@ -154,32 +184,20 @@ def main():
         except Exception as e:
             extras["train_step_render_512_b4_error"] = str(e)[:80]
 
-    # UNet+ControlNet denoise rate: run in a subprocess with its own
-    # timeout so the big SD1.5 compile cannot blow this benchmark's budget
-    if time_left() > 90:
-        import subprocess
-        import sys
-
-        try:
-            r = subprocess.run(
-                [sys.executable, "bench_unet.py"], capture_output=True,
-                text=True, timeout=max(time_left() - 20, 60),
-            )
-            for line in reversed(r.stdout.strip().splitlines()):
-                if line.startswith("{"):
-                    extras.update(json.loads(line))
-                    break
-        except subprocess.TimeoutExpired:
-            extras["unet_denoise_error"] = "timeout"
-        except Exception as e:
-            extras["unet_denoise_error"] = str(e)[:80]
+    # retry the unet metric if the first slice timed out: its compiles are
+    # now in the persistent cache, so a short second slice usually lands it
+    if "unet_denoise_error" in extras and time_left() > 90:
+        retry = run_unet_bench(max(time_left() - 20, 60))
+        if "unet_denoise_error" not in retry:
+            extras.pop("unet_denoise_error")
+        extras.update(retry)
 
     fps_fb = batch / t_fb
     baseline_fps = 100.0
     # hardware-roofline view (VERDICT r1 #9): traffic/FLOPs the fwd+bwd pass
     # actually moves/computes vs v5e peaks (~820 GB/s HBM, 197 TF/s bf16 /
     # ~98 TF/s f32). The compositor is gather/sort/HBM-bound, not MXU-bound.
-    n_live = 400_000  # measured live instances on this scene at 1024^2
+    # n_live measured above via count_live_instances on this exact scene.
     bytes_moved = (
         n_live * (10 + 16 + 16 + 16) * 4  # gather + data + dgrad rw (f32)
         + 2.5 * n_live * 4 * 2 * 2        # sort universe keys+vals, r/w
@@ -200,6 +218,7 @@ def main():
         "hbm_traffic_gb_s": round(hbm_gbs, 1),
         "hbm_util_of_820": round(hbm_gbs / 820.0, 3),
         "mxu_tflops": round(mxu_flops / t_fb / 1e12, 1),
+        "n_live_instances": n_live,
         **extras,
         "device": str(jax.devices()[0]),
     }))

@@ -8,7 +8,8 @@ the (pos, neg, null) stacked embedding output consumed by the ANPG guidance
 (ipa_guidance.py:376-388).
 
 The text encoder is pluggable: the real path wraps the SD checkpoint's CLIP
-text encoder (diffusion/clip.py); tests use a deterministic fake. Embeddings
+text encoder via transformers-Flax (system/pipeline.load_text_encoder);
+tests use a deterministic fake. Embeddings
 are cached on disk keyed by md5(model_name + prompt) like the reference
 (base.py:18-21) — but computed in-process (no spawned subprocess: TPU-host
 RAM is not the constraint the reference's VRAM was, SURVEY.md §2.4).

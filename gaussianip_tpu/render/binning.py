@@ -83,6 +83,13 @@ def bin_instances(
     rank_bits = max(1, (n - 1).bit_length())
     assert (nt + 1) < (1 << (31 - rank_bits)), "tile/rank bits exceed int32"
     assert pool % chunk == 0, "pool must be a multiple of chunk"
+    # the packed per-gaussian table stores tmin_x, tmin_y and w in 8-bit
+    # fields (tmin_x | tmin_y << 8 | w << 16, extracted with & 0xFF below);
+    # >255 tiles per axis (>4080 px at tile=16) would silently corrupt
+    # pool-tier tile ids — fail loudly instead
+    assert n_tiles_x <= 255 and n_tiles_y <= 255, (
+        f"{n_tiles_x}x{n_tiles_y} tiles exceed the 8-bit packed-table "
+        f"fields (max 255 per axis; render in crops beyond ~4080 px)")
     sentinel_key = jnp.int32(nt << rank_bits)
 
     mean2d = jax.lax.stop_gradient(mean2d)

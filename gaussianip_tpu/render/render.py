@@ -229,6 +229,40 @@ def render(
     return RenderOutput(rgb, depth, alpha, proj.radius, binning.n_dropped)
 
 
+def count_live_instances(
+    gaussians, cameras, cfg: RenderConfig = RenderConfig()
+) -> jnp.ndarray:
+    """[B] live (post-binning) instance counts — the real per-camera
+    compositing workload. Used by bench.py's roofline accounting so HBM/MXU
+    estimates reflect the measured scene instead of a hard-coded count."""
+    deg = gaussians.active_sh_degree
+    xyz = gaussians.xyz
+    n = xyz.shape[0]
+    scales = gaussians.get_scaling()
+    opac = gaussians.get_opacity()[:, 0]
+    feats = gaussians.get_features()
+    active = gaussians.active_mask()
+    b = jax.tree_util.tree_leaves(cameras)[0].shape[0]
+    off = jnp.zeros((b, n, 2), jnp.float32)
+    proj = jax.vmap(
+        lambda cam, o: project_gaussians(
+            xyz, scales, gaussians.rotation, opac, feats, cam, deg, 1.0, o,
+            None, active,
+        )
+    )(cameras, off)
+    h, w = cameras.height, cameras.width
+    tile = cfg.tile
+    ntx, nty = -(-w // tile), -(-h // tile)
+    pool = cfg.pool or _auto_pool(n, cfg.chunk, h, w)
+    binning = jax.vmap(
+        lambda m, r, z, v: bin_instances(
+            m, r, z, v, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
+            d_max=cfg.d_max, pool=pool, chunk=cfg.chunk,
+        )
+    )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid)
+    return jnp.sum(binning.counts, axis=1)
+
+
 def render_deformed(
     gaussians,
     xyz,

@@ -169,12 +169,48 @@ def face_identity(image_path: str, irr_image_path: str):
         return embed(image_path), embed(irr_image_path)
 
 
+def load_lpips(sys_cfg: dict):
+    """Stage-3 perceptual loss (reference: GaussianIP.py:121,434-436 —
+    lpips.LPIPS(net='vgg')). Loads the torchvision VGG16 + lpips linear-head
+    checkpoints from `lpips_vgg_path` / `lpips_lin_path` (torch state dicts)
+    and returns a differentiable `fn(x, y) -> [B]`, or None with a LOUD
+    warning when the weights are not configured/present — stage 3 then
+    trains L1-only, which the reference never does."""
+    from ..diffusion.lpips import LPIPS, convert_lpips_weights
+    from ..diffusion.weights import load_torch_state_dict
+
+    vgg_path = sys_cfg.get("lpips_vgg_path", "")
+    lin_path = sys_cfg.get("lpips_lin_path", "")
+    if not (vgg_path and lin_path and os.path.exists(vgg_path)
+            and os.path.exists(lin_path)):
+        gt.warn(
+            "=" * 70 + "\nLPIPS weights not found (system.lpips_vgg_path / "
+            "system.lpips_lin_path): stage 3 will train with L1 ONLY. The "
+            "reference optimizes 10*L1 + 15*LPIPS (GaussianIP.py:432-436) — "
+            "supply the torchvision vgg16 and lpips vgg linear checkpoints "
+            "for quality parity.\n" + "=" * 70)
+        return None
+    vgg_sd = load_torch_state_dict(vgg_path)
+    lin_sd = load_torch_state_dict(lin_path)
+    params = convert_lpips_weights(vgg_sd, lin_sd)
+    params = jax.tree_util.tree_map(
+        lambda a: jax.device_put(jnp.asarray(a), jax.devices()[0]), params)
+    model = LPIPS()
+
+    def fn(x, y):
+        return model.apply(params, x, y, normalize=True)
+
+    return fn
+
+
 def build_stub_guidance_stack(prompt: str, negative_prompt: str,
                               image_size: int = 64):
     """Tiny random models + fake text encoder: the weight-free smoke stack
     (fills the reference's missing fake-backend role)."""
     from ..diffusion.unet import tiny_unet_config
     from ..diffusion.vae import tiny_vae_config
+
+    from ..utils.fast_init import fast_init
 
     ucfg = tiny_unet_config(ip_tokens=4)
     unet = UNet2DConditionModel(ucfg)
@@ -183,10 +219,12 @@ def build_stub_guidance_stack(prompt: str, negative_prompt: str,
     key = jax.random.PRNGKey(0)
     lat = jnp.zeros((1, image_size // 2, image_size // 2, 4))
     ctx = jnp.zeros((1, 81, 32))
-    up = unet.init(key, lat, jnp.array([1]), ctx)
-    cp = cn.init(key, lat, jnp.array([1]), ctx[:, :77],
-                 jnp.zeros((1, image_size, image_size, 3)))
-    vp = vae.init(key, jnp.zeros((1, image_size, image_size, 3)))
+    # shape-only init: Module.init would XLA-compile a real forward (~80 s
+    # on CPU for this stack)
+    up = fast_init(unet, key, lat, jnp.array([1]), ctx)
+    cp = fast_init(cn, key, lat, jnp.array([1]), ctx[:, :77],
+                   jnp.zeros((1, image_size, image_size, 3)))
+    vp = fast_init(vae, key, jnp.zeros((1, image_size, image_size, 3)))
     models = GuidanceModels(unet, up, cn, cp, vae, vp)
     pe = make_prompt_embeddings(fake_text_encoder(77, 32), prompt,
                                 negative_prompt, "")

@@ -264,11 +264,21 @@ def train_stage1(
     log_fn: Callable[[int, dict], None] | None = None,
     val_every: int = 0,
     val_fn: Callable[[int, "TrainState"], None] | None = None,
+    mesh=None,
+    hand_centers=None,
 ):
     """Host schedule loop for stage 1 (validation renders every
-    `val_every` steps, reference: configs/exp.yaml:194 + GaussianIP.py:509)."""
+    `val_every` steps, reference: configs/exp.yaml:194 + GaussianIP.py:509).
+
+    mesh: optional 1-D 'data' jax.sharding.Mesh — the camera batch shards
+    over it (cam_cfg.batch_size must divide by the mesh size)."""
+    if mesh is not None:
+        assert cam_cfg.batch_size % mesh.devices.size == 0, (
+            f"camera batch {cam_cfg.batch_size} must divide over the "
+            f"{mesh.devices.size}-device data mesh")
     step_fn = make_train_step(
-        cfg, cam_cfg, render_cfg, adam_hyper, guidance, skel_points3d
+        cfg, cam_cfg, render_cfg, adam_hyper, guidance, skel_points3d,
+        mesh=mesh, hand_centers=hand_centers,
     )
     densify, prune = make_densify_fns(cfg)
     n_steps = cfg.max_steps if n_steps is None else n_steps

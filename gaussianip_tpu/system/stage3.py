@@ -66,13 +66,27 @@ def make_stage3_step(
     n_views = refined_targets.shape[0]
     h, w = cfg.height, cfg.width
 
+    def shard_view(x):
+        """Constrain batch axis 0 over the 'data' mesh axis (gaussian params
+        replicate; XLA psums the parameter grads — same layout as stage 1)."""
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def constrain(a):
+            spec = P(*(("data",) + (None,) * (a.ndim - 1)))
+            return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+        return jax.tree_util.tree_map(constrain, x)
+
     def step_fn(ts: TrainState, key):
         k_ids, _ = jax.random.split(key)
         ids = jax.random.choice(k_ids, n_views, (cfg.train_bs,), replace=False)
         c2w = orbit.c2w[ids]
         fovy = orbit.fovy[ids]
-        cams = jax.vmap(lambda m, f: camera_from_c2w(m, f, h, w))(c2w, fovy)
-        tgt = refined_targets[ids]
+        cams = shard_view(
+            jax.vmap(lambda m, f: camera_from_c2w(m, f, h, w))(c2w, fovy))
+        tgt = shard_view(refined_targets[ids])
 
         n = ts.gaussians.capacity
         b = cfg.train_bs
@@ -91,7 +105,7 @@ def make_stage3_step(
                 loss = loss + cfg.lambda_lpips * lp
             return loss, {"radii": out.radii, "l1": l1, "lpips": lp}
 
-        offset = jnp.zeros((b, n, 2))
+        offset = shard_view(jnp.zeros((b, n, 2)))
         (loss, aux), (g_state, g_off) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True, allow_int=True
         )(ts.gaussians, offset)
@@ -130,9 +144,14 @@ def train_stage3(
     log_fn=None,
     scan_chunk: int = 25,  # steps per device dispatch (large chunks at
     #                        1024^2 have faulted the device runtime)
+    mesh=None,
 ):
+    if mesh is not None:
+        assert cfg.train_bs % mesh.devices.size == 0, (
+            f"stage-3 view batch {cfg.train_bs} must divide over the "
+            f"{mesh.devices.size}-device data mesh")
     step_fn = make_stage3_step(cfg, render_cfg, adam_hyper, orbit,
-                               refined_targets, lpips_fn)
+                               refined_targets, lpips_fn, mesh=mesh)
 
     @jax.jit
     def densify(ts: TrainState, key):

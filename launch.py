@@ -22,6 +22,40 @@ import time
 import numpy as np
 
 
+def resolve_mesh(args):
+    """Build the 1-D 'data' mesh when more than one accelerator is visible.
+
+    The reference pins training to one GPU (reference: launch.py:135-137
+    `devices=[0]`); the TPU-native product path instead shards the camera /
+    view batch over every chip of the slice (SURVEY.md §2.4). `--devices N`
+    caps the mesh; `--devices 1` forces single-device."""
+    import jax
+
+    if str(args.devices) == "1":
+        return None
+    n = len(jax.devices())
+    if str(args.devices) != "auto":
+        n = min(n, int(args.devices))
+    if n <= 1:
+        return None
+    from gaussianip_tpu.parallel.mesh import make_data_mesh
+
+    import gaussianip_tpu as gt
+
+    mesh = make_data_mesh(n)
+    gt.info(f"data mesh over {n} devices: camera/view batches shard over ICI")
+    return mesh
+
+
+def _scale_batch(bs: int, mesh) -> int:
+    """Round a batch size up to a multiple of the mesh size (4 -> 8 on a
+    v5e-8: every chip renders/denoises at least one view per step)."""
+    if mesh is None:
+        return bs
+    d = mesh.devices.size
+    return -(-bs // d) * d
+
+
 def build_skeleton(system_cfg, stub: bool):
     from gaussianip_tpu.human.skeleton import Skeleton
 
@@ -71,6 +105,7 @@ def run_stage1(cfg, dirs, args):
 
     sys_cfg = cfg["system"]
     data_cfg = cfg["data"]
+    mesh = resolve_mesh(args)
     sk = build_skeleton(sys_cfg, args.stub_guidance)
 
     n_pts = int(sys_cfg.get("pts_num", 100000))
@@ -101,7 +136,7 @@ def run_stage1(cfg, dirs, args):
     )
     cam_cfg = CameraSamplerConfig(
         height=s1.render_height, width=s1.render_width,
-        batch_size=int(data_cfg.get("batch_size", 4)),
+        batch_size=_scale_batch(int(data_cfg.get("batch_size", 4)), mesh),
         elevation_range=tuple(data_cfg["elevation_range"]),
         azimuth_range=tuple(data_cfg["azimuth_range"]),
         camera_distance_range=tuple(data_cfg["camera_distance_range"]),
@@ -128,6 +163,7 @@ def run_stage1(cfg, dirs, args):
         guidance = pl.build_stub_guidance_stack(
             sys_cfg["prompt_processor"]["prompt"],
             sys_cfg["prompt_processor"]["negative_prompt"],
+            image_size=int(sys_cfg.get("stub_image_size", 64)),
         )
     else:
         from gaussianip_tpu.guidance.ipa import (
@@ -207,7 +243,7 @@ def run_stage1(cfg, dirs, args):
                       n_steps=n_steps, log_fn=log,
                       log_every=int(cfg["trainer"].get("log_every_n_steps",
                                                        100)),
-                      val_every=val_every, val_fn=save_val)
+                      val_every=val_every, val_fn=save_val, mesh=mesh)
 
     # render + save the 32 refine views (before_refine handoff)
     n_views = int(sys_cfg.get("refine_n_views", 32))
@@ -259,18 +295,20 @@ def run_stage2(cfg, dirs, args):
     from gaussianip_tpu.utils.saving import save_image
 
     sys_cfg = cfg["system"]
+    mesh = resolve_mesh(args)
     data = np.load(dirs.path("before_refine.npz"))
     images = jnp.asarray(data["images"])
     control = jnp.asarray(data["control_images"])
 
     if args.stub_guidance:
-        g = pl.build_stub_guidance_stack("person", "bad", image_size=64)
+        sz = int(sys_cfg.get("stub_image_size", 64))
+        g = pl.build_stub_guidance_stack("person", "bad", image_size=sz)
         models = RefineModels(*g.models)
         from gaussianip_tpu.guidance.prompts import fake_text_encoder
 
         enc = fake_text_encoder(77, 32)
-        images = jax.image.resize(images, (32, 64, 64, 3), "linear")
-        control = jax.image.resize(control, (32, 64, 64, 3), "linear")
+        images = jax.image.resize(images, (32, sz, sz, 3), "linear")
+        control = jax.image.resize(control, (32, sz, sz, 3), "linear")
         ip_tok = np.zeros((4, 32), np.float32)
     else:
         import jax.numpy as jnp
@@ -284,8 +322,14 @@ def run_stage2(cfg, dirs, args):
         enc = pl.load_text_encoder(
             g_cfg["pretrained_realistic_model_name_or_path"])
         # identity tokens: refine uses the positive face for the cond row and
-        # the zero-face embedding for the uncond row (reference:
-        # ip_adapter_faceid.py get_image_embeds + refine_with_small_noise)
+        # the ZERO-face embedding for the uncond row. This is faithful to the
+        # reference: its refine path calls refine_with_small_noise
+        # (refine.py:216-231, passing only pos_face_image/pos_faceid_embeds)
+        # -> get_image_embeds (ip_adapter_faceid.py:347-361), whose uncond
+        # row is proj(torch.zeros_like(faceid), clip(torch.zeros_like(img))).
+        # The irrelevant-face null row (get_image_embeds_with_null,
+        # ip_adapter_faceid.py:363-382) is a STAGE-1 ANPG construct only;
+        # run_stage1 above wires it via irr_pil_image_path.
         img_enc = pl.load_image_encoder(g_cfg["image_encoder_faceid_path"])
         (pos_e, pos_face), _ = pl.face_identity(
             g_cfg["pil_image_faceid_path"], g_cfg["irr_pil_image_path"])
@@ -316,7 +360,8 @@ def run_stage2(cfg, dirs, args):
         contexts[name] = jnp.asarray(np.stack([neg, pos]))
 
     refined = refine_views(models, images, control, contexts,
-                           jax.random.PRNGKey(2024))
+                           jax.random.PRNGKey(2024), mesh=mesh,
+                           dense_batch=8 if mesh is not None else 4)
     for i in range(refined.shape[0]):
         save_image(dirs.path("save", f"refined_rgb_{i}.png"), refined[i])
     small = crop_and_downsample(refined) if refined.shape[1] >= 1024 else refined
@@ -341,7 +386,10 @@ def run_stage3(cfg, dirs, args):
     from gaussianip_tpu.utils.saving import save_image, save_video
     from gaussianip_tpu.data.sampler import CameraSamplerConfig
 
+    from gaussianip_tpu.system import pipeline as pl
+
     sys_cfg = cfg["system"]
+    mesh = resolve_mesh(args)
     manifest_ply = dirs.manifest().get("ply")
     gs = state_from_ply(manifest_ply)
     ts = init_train_state(gs)
@@ -350,7 +398,7 @@ def run_stage3(cfg, dirs, args):
 
     H = int(sys_cfg.get("ori_height", 1024))
     if args.stub_guidance:
-        H = max(refined.shape[1] * 2, 64)
+        H = max(refined.shape[1] * 2, 32)
     n_views = int(sys_cfg.get("refine_n_views", 32))
     orbit = refine_orbit_batch(
         n_views, float(sys_cfg["refine_elevation"]),
@@ -364,12 +412,14 @@ def run_stage3(cfg, dirs, args):
         height=H, width=H, crop_y=cy, crop_x=cx,
         refine_start_step=int(sys_cfg.get("refine_start_step", 2400)),
         max_steps=args.max_steps or int(cfg["trainer"]["max_steps"]),
-        train_bs=int(sys_cfg.get("refine_train_bs", 4)),
+        train_bs=_scale_batch(int(sys_cfg.get("refine_train_bs", 4)), mesh),
         lambda_l1=float(sys_cfg.get("lambda_l1", 10)),
         lambda_lpips=float(sys_cfg.get("lambda_lpips", 15)),
         max_grad=float(sys_cfg["max_grad"]),
     )
-    lpips_fn = None  # LPIPS weights load here when available
+    # 10*L1 + 15*LPIPS when the VGG/lpips checkpoints resolve; loud warning
+    # + L1-only otherwise (reference: GaussianIP.py:432-436)
+    lpips_fn = None if args.stub_guidance else pl.load_lpips(sys_cfg)
     t0 = time.time()
     from gaussianip_tpu.utils.logging import MetricsLogger
 
@@ -381,7 +431,7 @@ def run_stage3(cfg, dirs, args):
 
     ts = train_stage3(ts, s3, RenderConfig(), AdamHyper(), orbit, refined,
                       jax.random.PRNGKey(7), lpips_fn=lpips_fn,
-                      log_fn=s3log)
+                      log_fn=s3log, mesh=mesh)
 
     # test orbit video + final ply
     cam_cfg = CameraSamplerConfig(
@@ -423,6 +473,9 @@ def main():
     parser.add_argument("--stub-guidance", action="store_true",
                         help="weight-free smoke run (tiny random diffusion)")
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--devices", default="auto",
+                        help="data-mesh size: auto (all visible chips), 1 "
+                             "(single-device), or an explicit count")
     parser.add_argument("--gpu", default="0")  # accepted for CLI parity
     args, extras = parser.parse_known_args()
 

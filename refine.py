@@ -22,6 +22,8 @@ def main():
     parser.add_argument("--pil_image_path", default=None)
     parser.add_argument("--prompt", default=None)
     parser.add_argument("--stub-guidance", action="store_true")
+    parser.add_argument("--devices", default="auto",
+                        help="data-mesh size: auto / 1 / explicit count")
     args, extras = parser.parse_known_args()
 
     from gaussianip_tpu.utils.config import load_config
@@ -41,6 +43,7 @@ def main():
     class _A:
         stub_guidance = args.stub_guidance
         max_steps = None
+        devices = args.devices
 
     launch.run_stage2(cfg, dirs, _A())
 

@@ -11,9 +11,13 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+if "collective_call_terminate" not in flags:
+    # single-core hosts starve the 8 per-device SPMD threads; XLA's default
+    # 40 s collective rendezvous timeout then ABORTS the process mid-test
+    flags = (flags
+             + " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 

@@ -40,9 +40,13 @@ def tiny_guidance():
     lat = jnp.zeros((1, 32, 32, 4))  # tiny VAE downsamples 64 -> 32
     t = jnp.array([1])
     ctx = jnp.zeros((1, 77 + 4, 32))
-    up = unet.init(key, lat, t, ctx)
-    cp = cn.init(key, lat, t, ctx[:, :77], jnp.zeros((1, 64, 64, 3)))
-    vp = vae.init(key, jnp.zeros((1, 64, 64, 3)))
+    # shape-only init: real Module.init compiles a full forward (~60 s on a
+    # single-core host); these tests only need random finite weights
+    from gaussianip_tpu.utils.fast_init import fast_init
+
+    up = fast_init(unet, key, lat, t, ctx)
+    cp = fast_init(cn, key, lat, t, ctx[:, :77], jnp.zeros((1, 64, 64, 3)))
+    vp = fast_init(vae, key, jnp.zeros((1, 64, 64, 3)))
     models = GuidanceModels(unet, up, cn, cp, vae, vp)
     pe = make_prompt_embeddings(
         fake_text_encoder(77, 32), "a person", "bad quality", ""
