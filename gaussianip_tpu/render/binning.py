@@ -61,7 +61,8 @@ def _next_pow2(x: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "n_tiles_x", "n_tiles_y", "d_max", "pool",
-                     "chunk", "with_inv"),
+                     "chunk", "with_inv", "pad_pow2", "carry_gid",
+                     "inv_mode"),
 )
 def bin_instances(
     mean2d,
@@ -76,6 +77,9 @@ def bin_instances(
     pool: int,
     chunk: int,
     with_inv: bool = False,
+    pad_pow2: bool = False,
+    carry_gid: bool = True,
+    inv_mode: str = "sort",
 ):
     n = mean2d.shape[0]
     nt = n_tiles_x * n_tiles_y
@@ -189,23 +193,35 @@ def bin_instances(
     key_pool = jnp.where(ok_pool, (tile_p << rank_bits) | rank_p,
                          sentinel_key)
 
-    # sort carries (emission index, gaussian id) — gidx falls out of the
-    # sort, no post-sort recovery gather
+    # ONE sort carrying (emission index, gaussian id). v5e A/B notes
+    # (scripts/probe_binstages.py / probe_binvariants.py, 1024^2/100k):
+    # the third carried array is free; padding the sort to pow2 costs ~10 ms
+    # on the with_inv path (XLA handles non-pow2 fine) — so no explicit pad;
+    # carry_gid=False recovers gid = order[key & rank_mask] post-sort
+    # instead (kept for A/B, measured neutral).
     keys = jnp.concatenate([key_in, key_pool])
     vals = jnp.arange(e, dtype=jnp.int32)
-    gid = jnp.concatenate([gid_in, pg])
-    pad = _next_pow2(e) - e
+    gid = jnp.concatenate([gid_in, pg]) if carry_gid else None
+    pad = (_next_pow2(e) - e) if pad_pow2 else 0
     if pad:
         keys = jnp.pad(keys, (0, pad), constant_values=sentinel_key)
         vals = jnp.pad(vals, (0, pad), constant_values=e)
-        gid = jnp.pad(gid, (0, pad), constant_values=n)
-    keys_s, em_s, gid_s = jax.lax.sort((keys, vals, gid), num_keys=1)
+        if carry_gid:
+            gid = jnp.pad(gid, (0, pad), constant_values=n)
+    if carry_gid:
+        keys_s, em_s, gid_s = jax.lax.sort((keys, vals, gid), num_keys=1)
+    else:
+        keys_s, em_s = jax.lax.sort((keys, vals), num_keys=1)
     keys_c = keys_s[:e]
     em = em_s[:e]
 
     tile_sorted = (keys_c >> rank_bits).astype(jnp.int32)
     live = keys_c != sentinel_key
-    gidx = jnp.where(live, gid_s[:e], n)
+    if carry_gid:
+        gidx = jnp.where(live, gid_s[:e], n)
+    else:
+        rank_mask = (1 << rank_bits) - 1
+        gidx = jnp.where(live, order[keys_c & rank_mask].astype(jnp.int32), n)
 
     tile_ids = jnp.arange(nt, dtype=jnp.int32)
     starts = jnp.searchsorted(
@@ -215,18 +231,25 @@ def bin_instances(
     counts = ends - starts
 
     if with_inv:
-        # inverse permutation via a second sort (cheaper than an 800k
-        # scatter on TPU): em is an exact permutation of [0, e) — every
-        # emission slot appears once (live or dead) — so sorting
-        # (em, position-or-dead) by em yields inv_em directly
+        # inverse permutation via a second sort of (em, position-or-dead):
+        # em is an exact permutation of [0, e) — every emission slot appears
+        # once (live or dead; among equal sentinel keys the stable sort
+        # keeps real slots ahead of pow2 padding). The "scatter" mode
+        # (unique-index scatter) looks free in isolated microbenches but
+        # costs ~200 ms in the full graph on v5e — XLA TPU scatter lowering
+        # is pathological; do not flip it on without an end-to-end measure.
         pos = jnp.arange(e, dtype=jnp.int32)
         pv = jnp.where(live, pos, e)
-        em_key = em
-        if pad:
-            em_key = jnp.pad(em_key, (0, pad), constant_values=e)
-            pv = jnp.pad(pv, (0, pad), constant_values=e)
-        _, inv_s = jax.lax.sort((em_key, pv), num_keys=1)
-        inv_em = inv_s[:e]
+        if inv_mode == "scatter":
+            inv_em = jnp.full((e,), e, jnp.int32).at[em].set(
+                pv, unique_indices=True, mode="promise_in_bounds")
+        else:
+            em_key = em
+            if pad:
+                em_key = jnp.pad(em_key, (0, pad), constant_values=e)
+                pv = jnp.pad(pv, (0, pad), constant_values=e)
+            _, inv_s = jax.lax.sort((em_key, pv), num_keys=1)
+            inv_em = inv_s[:e]
     else:
         inv_em = jnp.zeros((1,), jnp.int32)
 

@@ -22,6 +22,11 @@ os.environ["XLA_FLAGS"] = flags.strip()
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: repeat suite runs skip the CPU XLA compiles that
+# dominate the heavy tests (cold-run cost unchanged)
+os.makedirs(".jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

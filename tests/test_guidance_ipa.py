@@ -85,6 +85,7 @@ def test_guidance_loss_and_grad(tiny_guidance, rng):
     assert float(jnp.abs(dr).max()) > 0  # gradient flows through the VAE
 
 
+@pytest.mark.slow
 def test_guidance_jits(tiny_guidance, rng):
     g = tiny_guidance
     rgb = jnp.asarray(rng.uniform(0, 1, (2, 48, 48, 3)).astype(np.float32))

@@ -33,6 +33,7 @@ def lpips_ckpts(tmp_path_factory):
     return str(vp), str(lp)
 
 
+@pytest.mark.slow
 def test_load_lpips_resolves(lpips_ckpts):
     from gaussianip_tpu.system.pipeline import load_lpips
 

@@ -8,6 +8,7 @@ import struct as pystruct
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaussianip_tpu.data.cameras import camera_from_c2w
 from gaussianip_tpu.data.scene_readers import (
@@ -76,6 +77,7 @@ def _toy_scene(rng, n_views=6, res=64):
     return scene, imgs
 
 
+@pytest.mark.slow
 def test_photo_recon_end_to_end(rng):
     scene, imgs = _toy_scene(rng)
     cfg = PhotoReconConfig(iterations=25, resolution=64, sh_degree=0,

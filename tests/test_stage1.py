@@ -5,6 +5,7 @@ losses + Adam) and the densify/prune schedule."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaussianip_tpu.data.sampler import CameraSamplerConfig
 from gaussianip_tpu.guidance.stub import make_stub_guidance
@@ -23,6 +24,7 @@ from gaussianip_tpu.system.stage1 import (
 )
 
 
+@pytest.mark.slow
 def test_stage1_smoke(rng):
     sk = Skeleton(_test_model=make_test_model(rng, n_verts=300, n_faces=200))
     sk.forward_smplx()

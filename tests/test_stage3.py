@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaussianip_tpu.data.sampler import refine_orbit_batch
 from gaussianip_tpu.diffusion.lpips import LPIPS
@@ -30,6 +31,7 @@ def test_lpips_properties(rng):
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_stage3_converges_toward_targets(rng):
     # small-scale stage 3: the "refined targets" are renders of a
     # color-shifted state; L1(+LPIPS) should pull the colors toward it
