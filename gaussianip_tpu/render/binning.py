@@ -5,11 +5,11 @@ diff-gaussian-rasterization (consumed at reference:
 gaussiansplatting/gaussian_renderer/__init__.py:85-93). Design (v2):
 
   * two-tier duplication keeps the sort small: every gaussian gets
-    INLINE (=4) instance slots (median footprint is 2 tiles); footprints
-    beyond that draw contiguous slots from a shared overflow POOL sized by
-    resolution (pool exhaustion is counted in n_dropped, and footprints are
-    first clamped to a centered d_max-tile window like v1). The sort
-    universe is 4N + pool instead of N * d_max (~4x fewer keys at 1024^2);
+    `inline` instance slots (default 1); footprints beyond that draw
+    contiguous slots from a shared overflow POOL sized by resolution (pool
+    exhaustion is counted in n_dropped, and footprints are first clamped to
+    a centered d_max-tile window like v1). The sort universe is
+    inline*N + pool instead of N * d_max (~6x fewer keys at 1024^2);
   * ONE stable key+value sort: key = tile_id << rank_bits | depth_rank
     (rank from one cheap N argsort), value = emission index. Instances land
     grouped by tile, depth-ordered within the tile, invalid slots sink to
@@ -39,7 +39,9 @@ import jax.numpy as jnp
 
 from .preprocess import tile_rect
 
-INLINE = 4  # inline instance slots per gaussian (tier 1)
+INLINE = 1  # default inline instance slots per gaussian (tier 1); the
+#             sort/gather/reduction universe is inline*N + pool, and 1
+#             measured fastest at 1024^2/100k (scripts/probe_inline.py)
 
 
 class Binning(NamedTuple):
@@ -62,7 +64,7 @@ def _next_pow2(x: int) -> int:
     jax.jit,
     static_argnames=("tile", "n_tiles_x", "n_tiles_y", "d_max", "pool",
                      "chunk", "with_inv", "pad_pow2", "carry_gid",
-                     "inv_mode"),
+                     "inv_mode", "inline"),
 )
 def bin_instances(
     mean2d,
@@ -80,10 +82,11 @@ def bin_instances(
     pad_pow2: bool = False,
     carry_gid: bool = True,
     inv_mode: str = "sort",
+    inline: int = INLINE,
 ):
     n = mean2d.shape[0]
     nt = n_tiles_x * n_tiles_y
-    e = INLINE * n + pool
+    e = inline * n + pool
     rank_bits = max(1, (n - 1).bit_length())
     assert (nt + 1) < (1 << (31 - rank_bits)), "tile/rank bits exceed int32"
     assert pool % chunk == 0, "pool must be a multiple of chunk"
@@ -130,13 +133,13 @@ def bin_instances(
 
     # pool allocation: gaussian g draws extra_eff contiguous slots at
     # pool_ofs (exclusive cumsum); exhausted pool truncates (counted)
-    extra = jnp.maximum(count - INLINE, 0)
+    extra = jnp.maximum(count - inline, 0)
     pool_ofs = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(extra)[:-1].astype(jnp.int32)])
     extra_eff = jnp.clip(pool - pool_ofs, 0, extra)
     n_dropped = jnp.sum(extra - extra_eff).astype(jnp.int32)
-    count_eff = jnp.minimum(count, INLINE) + extra_eff
+    count_eff = jnp.minimum(count, inline) + extra_eff
 
     w_safe = jnp.maximum(w, 1)
 
@@ -151,15 +154,15 @@ def bin_instances(
     recip_w = 1.0 / w_safe.astype(jnp.float32) * (1.0 + 1e-6)
 
     # tier 1: inline slots, [N, INLINE] broadcast (no gathers)
-    d_in = jnp.arange(INLINE, dtype=jnp.int32)
+    d_in = jnp.arange(inline, dtype=jnp.int32)
     tile_in = slot_tile(tmin_x[:, None], tmin_y[:, None], recip_w[:, None],
                         w_safe[:, None], d_in[None, :])
-    ok_in = d_in[None, :] < jnp.minimum(count, INLINE)[:, None]
+    ok_in = d_in[None, :] < jnp.minimum(count, inline)[:, None]
     key_in = jnp.where(
         ok_in, (tile_in << rank_bits) | rank[:, None], sentinel_key
     ).reshape(-1)
     gid_in = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, INLINE)).reshape(-1)
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, inline)).reshape(-1)
 
     # tier 2: pool slots. Segment id/start/end via mark-scatter + cummax
     # (no per-slot gathers into [N] except the packed table below).
@@ -187,14 +190,14 @@ def bin_instances(
     aw = (a >> 16) & 0xFF
     # clamp: dead slots far past their segment would overflow the f32
     # division path (ok_pool masks them anyway)
-    d_pool = jnp.minimum(INLINE + (j - seg_start), d_max)
+    d_pool = jnp.minimum(inline + (j - seg_start), d_max)
     tile_p = slot_tile(a & 0xFF, (a >> 8) & 0xFF,
                        1.0 / aw.astype(jnp.float32) * (1.0 + 1e-6), aw, d_pool)
     key_pool = jnp.where(ok_pool, (tile_p << rank_bits) | rank_p,
                          sentinel_key)
 
     # ONE sort carrying (emission index, gaussian id). v5e A/B notes
-    # (scripts/probe_binstages.py / probe_binvariants.py, 1024^2/100k):
+    # (scripts/probe_binstages.py, 1024^2/100k):
     # the third carried array is free; padding the sort to pow2 costs ~10 ms
     # on the with_inv path (XLA handles non-pow2 fine) — so no explicit pad;
     # carry_gid=False recovers gid = order[key & rank_mask] post-sort

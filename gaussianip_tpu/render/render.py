@@ -37,6 +37,10 @@ class RenderConfig:
     chunk: int = struct.field(pytree_node=False, default=128)
     d_max: int = struct.field(pytree_node=False, default=25)
     pool: int = struct.field(pytree_node=False, default=0)  # 0 = auto
+    # inline instance slots per gaussian before drawing from the shared
+    # overflow pool. 1 measured fastest at 1024^2/100k (the sort universe
+    # inline*N + pool is smallest; scripts/probe_inline.py: 53 -> 40.5 ms)
+    inline: int = struct.field(pytree_node=False, default=1)
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
 
@@ -55,22 +59,30 @@ def _resolve_backend(cfg: RenderConfig) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "reference"
 
 
-def _auto_pool(n: int, chunk: int, h: int, w: int) -> int:
-    """Overflow-pool sizing: big-footprint duplicates beyond the INLINE tier
-    scale with resolution^2 (measured ~2 extra tiles/gaussian at 1024^2 for
-    trained scenes; headline scenes peak higher — overflow is reported in
-    n_dropped)."""
-    res_scale = max((h * w) / float(1024 * 1024), 0.05)
-    # floor of 2n: tiny-resolution scenes keep proportionally huge
-    # footprints. Every pool slot costs sort+gather+reduction time whether
-    # live or not (headline scene: 177k live extras at 1024^2 -> 2.5n
-    # leaves 41% headroom; overflow shows up in n_dropped)
-    pool = max(int(2.5 * n * res_scale), 2 * n, 2 * chunk)
-    return -(-pool // chunk) * chunk
+def _auto_pool(n: int, chunk: int, h: int, w: int, inline: int = 1,
+               tile: int = 16, d_max: int = 25) -> int:
+    """Overflow-pool sizing: big-footprint duplicates beyond the inline tier
+    scale with resolution^2 (bench scene at 1024^2: 380k live instances,
+    280k extras beyond inline=1 — scripts/probe_inline.py). Every pool slot
+    costs sort+gather+reduction time whether live or not, so the pool is
+    sized ~1.25x the measured extras; overflow is reported in n_dropped.
+    Tiny renders (<= 64 tiles) get the exact worst case instead — footprints
+    there cover most of the screen and the exact pool is still small."""
+    nt = -(-w // tile) * -(-h // tile)
+    worst = n * max(min(d_max, nt) - inline, 1)
+    if nt <= 64:
+        pool = worst
+    else:
+        res_scale = max((h * w) / float(1024 * 1024), 0.05)
+        pool = min(worst,
+                   max(int((3.5 - 0.35 * (inline - 1)) * n * res_scale),
+                       2 * n, 2 * chunk))
+    return -(-max(pool, 2 * chunk) // chunk) * chunk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _gather_rows(packed, gidx, n: int, inv_em, pool_ofs, pool_len):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gather_rows(packed, gidx, n: int, inline: int, inv_em, pool_ofs,
+                 pool_len):
     """inst[b, i] = packed[b, gidx[b, i]] with dead rows zeroed.
 
     Backward reduces per-instance gradients to per-gaussian gradients via
@@ -82,24 +94,24 @@ def _gather_rows(packed, gidx, n: int, inv_em, pool_ofs, pool_len):
     return jnp.where((gidx < n)[..., None], inst, 0.0)
 
 
-def _gather_rows_fwd(packed, gidx, n, inv_em, pool_ofs, pool_len):
-    return (_gather_rows(packed, gidx, n, inv_em, pool_ofs, pool_len),
+def _gather_rows_fwd(packed, gidx, n, inline, inv_em, pool_ofs, pool_len):
+    return (_gather_rows(packed, gidx, n, inline, inv_em, pool_ofs, pool_len),
             (gidx, inv_em, pool_ofs, pool_len))
 
 
-def _gather_rows_bwd(n, res, dinst):
+def _gather_rows_bwd(n, inline, res, dinst):
     gidx, inv_em, pool_ofs, pool_len = res
     b, e, c = dinst.shape
-    pool = e - INLINE * n
+    pool = e - inline * n
     # emission-order gradient rows (dead emission slots -> zero)
     inv_safe = jnp.minimum(inv_em, e - 1)
     dem = jnp.take_along_axis(dinst, inv_safe[..., None], axis=1)
-    dem = jnp.where((inv_em < e)[..., None], dem, 0.0)  # [B, 4N + pool, C]
-    # inline tier: [B, N, INLINE, C] sum
-    dpacked = jnp.sum(dem[:, : INLINE * n].reshape(b, n, INLINE, c), axis=2)
+    dem = jnp.where((inv_em < e)[..., None], dem, 0.0)  # [B, inl*N+pool, C]
+    # inline tier: [B, N, inline, C] sum
+    dpacked = jnp.sum(dem[:, : inline * n].reshape(b, n, inline, c), axis=2)
     if pool > 0:
         # pool tier: contiguous per-gaussian segments -> cumsum difference
-        ps = jnp.cumsum(dem[:, INLINE * n :], axis=1)  # [B, pool, C]
+        ps = jnp.cumsum(dem[:, inline * n :], axis=1)  # [B, pool, C]
         hi = jnp.clip(pool_ofs + pool_len - 1, 0, pool - 1)
         lo = pool_ofs - 1
         seg_hi = jnp.take_along_axis(ps, hi[..., None], axis=1)
@@ -166,14 +178,16 @@ def render(
     tile = cfg.tile
     ntx = -(-w // tile)
     nty = -(-h // tile)
-    pool = cfg.pool or _auto_pool(n, cfg.chunk, h, w)
-    e = INLINE * n + pool
+    pool = cfg.pool or _auto_pool(n, cfg.chunk, h, w, cfg.inline,
+                                  cfg.tile, cfg.d_max)
+    e = cfg.inline * n + pool
     epad = (-(-(e + cfg.chunk) // cfg.chunk)) * cfg.chunk + cfg.chunk
 
     binning = jax.vmap(
         lambda m, r, z, v: bin_instances(
             m, r, z, v, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
             d_max=cfg.d_max, pool=pool, chunk=cfg.chunk, with_inv=True,
+            inline=cfg.inline,
         )
     )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid)
 
@@ -190,7 +204,7 @@ def render(
         ],
         axis=-1,
     )  # [B, N, 10]
-    inst = _gather_rows(packed, binning.gidx, n, binning.inv_em,
+    inst = _gather_rows(packed, binning.gidx, n, cfg.inline, binning.inv_em,
                         binning.pool_ofs, binning.pool_len)
     rv = (binning.gidx < n)[..., None]
 
@@ -253,11 +267,12 @@ def count_live_instances(
     h, w = cameras.height, cameras.width
     tile = cfg.tile
     ntx, nty = -(-w // tile), -(-h // tile)
-    pool = cfg.pool or _auto_pool(n, cfg.chunk, h, w)
+    pool = cfg.pool or _auto_pool(n, cfg.chunk, h, w, cfg.inline,
+                                  cfg.tile, cfg.d_max)
     binning = jax.vmap(
         lambda m, r, z, v: bin_instances(
             m, r, z, v, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
-            d_max=cfg.d_max, pool=pool, chunk=cfg.chunk,
+            d_max=cfg.d_max, pool=pool, chunk=cfg.chunk, inline=cfg.inline,
         )
     )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid)
     return jnp.sum(binning.counts, axis=1)

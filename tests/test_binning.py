@@ -88,7 +88,7 @@ def test_binning_pool_overflow_accounting(rng):
     b = bin_instances(jnp.asarray(mean2d), jnp.asarray(radius),
                       jnp.asarray(depth), jnp.asarray(valid),
                       tile=tile, n_tiles_x=8, n_tiles_y=8,
-                      d_max=25, pool=pool, chunk=128)
+                      d_max=25, pool=pool, chunk=128, inline=4)
     want_extra = n * 5  # 9 tiles - 4 inline
     assert int(b.n_dropped) == want_extra - pool
     # all inline instances and exactly `pool` extras survive

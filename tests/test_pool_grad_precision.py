@@ -45,7 +45,8 @@ def test_pool_reduction_error_bound_at_production_pool():
 
     packed = jnp.asarray(rng.normal(0, 1, (1, n, c)).astype(np.float32))
     _, vjp = jax.vjp(
-        lambda p: _gather_rows(p, binning.gidx[None], n, binning.inv_em[None],
+        lambda p: _gather_rows(p, binning.gidx[None], n, INLINE,
+                               binning.inv_em[None],
                                binning.pool_ofs[None], binning.pool_len[None]),
         packed,
     )
