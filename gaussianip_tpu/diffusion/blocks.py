@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.conv_pallas import Conv3x3
+
 
 def timestep_embedding(t, dim: int, max_period: float = 10000.0,
                        flip_sin_to_cos: bool = True,
@@ -69,8 +71,7 @@ class ResnetBlock(nn.Module):
         h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype,
                          name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
             nn.silu(temb)
         )
@@ -78,8 +79,7 @@ class ResnetBlock(nn.Module):
         h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype,
                          name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="conv_shortcut")(x)
@@ -349,8 +349,8 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.channels, (3, 3), strides=2, padding=((1, 1), (1, 1)),
-                       dtype=self.dtype, name="conv")(x)
+        return Conv3x3(self.channels, stride=2, dtype=self.dtype,
+                       name="conv")(x)
 
 
 class Upsample(nn.Module):
@@ -361,5 +361,4 @@ class Upsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
-        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
-                       name="conv")(x)
+        return Conv3x3(self.channels, dtype=self.dtype, name="conv")(x)

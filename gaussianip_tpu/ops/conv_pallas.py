@@ -1,31 +1,38 @@
-"""Fused 3x3 convolution for TPU (Pallas): the hot op of the diffusion stack.
+"""Fused 3x3 convolution for TPU (Pallas).
 
-XLA's native conv lowering measures 15-21 TF/s bf16 on v5e at SD1.5/VAE
-shapes (7-10% of the 197 TF/s MXU peak; see NOTES.md round-2 analysis) and
-an im2col matmul is worse (activation-bandwidth bound). This kernel keeps
-the 3x3 taps in VMEM and issues 9 accumulating MXU matmuls per row-block —
-the input slab is DMA'd once per (batch row-block) and reused across all
-output-channel blocks, so HBM traffic is ~1 read of x + 1 write of y.
+The kernel keeps the 3x3 taps in VMEM and issues 9 accumulating MXU matmuls
+per row-block; the input slab is DMA'd once per (batch, row-block) and
+reused across output-channel blocks, so HBM traffic is ~1 read of x + 1
+write of y.
 
-Used by the VAE encoder/decoder, UNet/ControlNet resblocks, and LPIPS VGG
-(reference consumes these through torch/cuDNN: threestudio/models/guidance/
-ipa_guidance.py:137-233). Forward and the dL/dx half of the backward run in
-Pallas (dL/dx of a stride-1 3x3 conv is itself a 3x3 conv with the kernel
-rotated 180 deg and in/out channels swapped); the dL/dW half stays on XLA's
-filter-grad path (1/3 of backward FLOPs).
+Measured on v5e bf16 (scripts/probe_conv.py, 2026-08): XLA's native conv is
+already strong at these shapes — 64-216 TF/s — so this kernel is a
+*forward-path* win only: 1.15-1.35x over XLA fwd (86 vs 64 TF/s at
+512^2x128, 136 vs 116 at 128^2x512), NEUTRAL for fwd+bwd (XLA's fused
+filter-grad beats our split dx-Pallas/dW-XLA backward). It is therefore
+wired into the UNet/ControlNet denoise path, which the product never
+backprops through (SDS uses the frozen UNet as a scorer — reference:
+threestudio/models/guidance/ipa_guidance.py:391-431 computes the gradient
+in closed form), and NOT into the VAE/LPIPS training paths.
 
-Only stride-1 SAME-padded HWIO convs take this path; everything else
-(stride 2, tiny channel counts, non-TPU backends) falls back to
-lax.conv_general_dilated.
+dL/dx of a stride-1 3x3 conv is itself a 3x3 conv (kernel rotated 180deg,
+channels swapped) and runs in Pallas; dL/dW stays on XLA's filter-grad
+path — gradients are exact either way, just not faster than XLA.
+
+Only stride-1 SAME-padded HWIO convs with 128-aligned channel counts take
+this path; everything else (stride 2, 320-ch UNet layers, tiny channels,
+non-TPU backends) falls back to lax.conv_general_dilated.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+import os
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+from flax import linen as nn
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -45,11 +52,15 @@ def _xla_conv(x, kernel, *, stride=1):
 
 
 def _co_block(ci: int, co: int, itemsize: int) -> int:
-    """Largest divisor of co keeping the 9*ci*co_blk weight block in budget."""
-    for k in range(1, co + 1):
-        if co % k == 0 and 9 * ci * (co // k) * itemsize <= _W_BYTES:
-            return co // k
-    return 1
+    """Largest 128-multiple divisor of co keeping the 9*ci*co_blk weight
+    block in budget (Mosaic requires lane-dim block extents to be
+    128-aligned — even full-extent blocks of a lane-padded array)."""
+    best = 0
+    m = co // 128
+    for k in range(1, m + 1):
+        if m % k == 0 and 9 * ci * (128 * k) * itemsize <= _W_BYTES:
+            best = 128 * k
+    return best
 
 
 def _row_block(h: int, w: int, wp: int, ci: int, co_blk: int,
@@ -129,13 +140,24 @@ def _use_pallas(x, kernel, stride) -> bool:
     co = kernel.shape[-1]
     if stride != 1 or kernel.shape[:2] != (3, 3):
         return False
-    if ci < 64 or co < 64:  # contraction too shallow for the MXU to matter
+    if os.environ.get("GIP_PALLAS_CONV", "1") == "0":
+        return False
+    if ci % 128 or co % 128:
+        # Mosaic lane alignment: both channel dims must be 128-multiples
+        # (the 320-ch UNet layers measure fine through XLA anyway)
+        return False
+    if h * w < 4096:
+        # small-spatial layers (32^2 and below) are grid-overhead bound in
+        # the Pallas kernel and measure faster through XLA (probe_conv:
+        # 0.31 ms XLA vs 0.44 ms pallas at 32^2x640)
         return False
     if w % 8 or w < 8 or h < 3 or x.dtype.itemsize > 4:
         return False  # sublane reshape needs 8 | w
     wp = -(-(w + 2) // 8) * 8
     if 3 * wp * ci * x.dtype.itemsize > _SLAB_BYTES:
         return False  # even a single-row slab would blow VMEM
+    if _co_block(ci, co, x.dtype.itemsize) == 0:
+        return False
     return jax.default_backend() == "tpu"
 
 
@@ -177,3 +199,25 @@ def conv3x3(x, kernel, bias: Optional[jnp.ndarray] = None, *, stride: int = 1,
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
+
+
+class Conv3x3(nn.Module):
+    """Drop-in replacement for nn.Conv(features, (3, 3), padding=1) whose
+    forward uses the Pallas kernel when profitable. The parameter pytree
+    ("kernel" [3,3,Ci,Co] HWIO + "bias" [Co]) is identical to nn.Conv, so
+    torch->flax weight conversion is unaffected."""
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, ci, self.features), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        return conv3x3(x, kernel.astype(self.dtype),
+                       bias.astype(self.dtype), stride=self.stride)

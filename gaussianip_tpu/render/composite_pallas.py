@@ -198,11 +198,12 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     starts_ref, counts_ref,
-    data_hbm, featpix_ref, out_ref, gout_ref,
+    data_hbm, featpix_ref, out_ref, gout_ref, dgrad_init_hbm,
     dgrad_hbm,
-    buf, dbuf, rmw_buf, sems, wsem,
+    buf, dbuf, rmw_buf, sems, wsem, rsem,
     *, chunk: int, tile: int,
 ):
+    del dgrad_init_hbm  # aliased to dgrad_hbm (pre-zeroed); never read
     b = pl.program_id(0)
     t = pl.program_id(1)
     start = starts_ref[b, t]
@@ -226,44 +227,49 @@ def _bwd_kernel(
     tri_in_up = _tri(chunk, strict=False, upper=True)  # inclusive suffix sums
     tri_ex_up = _tri(chunk, strict=True, upper=True)  # exclusive suffix sums
 
-    def write_chunk(ci, values16):
-        """SET or merge (RMW) one [16, chunk] gradient chunk.
+    def write_copy(ci, slot):
+        return pltpu.make_async_copy(
+            dbuf.at[slot],
+            dgrad_hbm.at[b, :, pl.ds(
+                pl.multiple_of(base + ci * chunk, chunk), chunk)],
+            wsem.at[slot],
+        )
+
+    def write_chunk(ci, values16, have_prev):
+        """SET or merge (RMW) one [16, chunk] gradient chunk, double-buffered
+        (the write streams out while the next chunk computes).
 
         The owner of a chunk's first row (head == 0 or ci > 0) writes the
         whole chunk; otherwise (our unaligned head chunk) merge with what
-        the previous tile already wrote. The grid runs sequentially, so the
-        previous tile's write has landed."""
+        the previous tile already wrote. The grid runs sequentially and every
+        program drains its writes before ending, so prior writes have
+        landed."""
+        slot = ci % 2
         rows = jax.lax.broadcasted_iota(jnp.int32, (16, chunk), 1)
         idx = rows + ci * chunk
         mine = (idx >= head) & (idx < total)
 
-        def do_write():
-            dbuf[:] = jnp.where(mine, values16, dbuf[:])
-            wr = pltpu.make_async_copy(
-                dbuf,
-                dgrad_hbm.at[b, :, pl.ds(
-                    pl.multiple_of(base + ci * chunk, chunk), chunk)],
-                wsem,
-            )
-            wr.start()
-            wr.wait()
+        @pl.when(have_prev)
+        def _():
+            # this slot's previous write (ci + 2) must land before reuse
+            write_copy(ci + 2, slot).wait()
 
         @pl.when((ci > 0) | (head == 0))
         def _():
-            dbuf[:] = jnp.zeros((16, chunk), jnp.float32)
-            do_write()
+            dbuf[slot] = jnp.where(mine, values16, 0.0)
 
         @pl.when((ci == 0) & (head > 0))
         def _():
             rd = pltpu.make_async_copy(
                 dgrad_hbm.at[b, :, pl.ds(pl.multiple_of(base, chunk), chunk)],
                 rmw_buf,
-                wsem,
+                rsem,
             )
             rd.start()
             rd.wait()
-            dbuf[:] = rmw_buf[:]
-            do_write()
+            dbuf[slot] = jnp.where(mine, values16, rmw_buf[:])
+
+        write_copy(ci, slot).start()
 
     @pl.when(nchunks > 0)
     def _():
@@ -303,7 +309,8 @@ def _bwd_kernel(
 
         dcoeff = _dot(featpix, dpower, ((1,), (1,)))  # [8, C]
         dfeat = _dot(gout, w, ((1,), (1,)))  # [8, C]
-        write_chunk(ci, jnp.concatenate([dcoeff, dfeat], axis=0))
+        write_chunk(ci, jnp.concatenate([dcoeff, dfeat], axis=0),
+                    have_prev=i >= 2)
         r_carry_new = r_rows[0:1, :] + t1w[0:1, :]
         log_s_carry_new = s_incl[0:1, :]
         return (r_carry_new, log_s_carry_new)
@@ -315,12 +322,16 @@ def _bwd_kernel(
         (jnp.zeros((1, p), jnp.float32), jnp.zeros((1, p), jnp.float32)),
     )
 
-    # zero-fill gradient chunks past the last contributor (skipped above)
-    def zero_body(ci, _):
-        write_chunk(ci, jnp.zeros((16, chunk), jnp.float32))
-        return 0
+    # drain the (at most one per slot) in-flight writes; chunks past the
+    # last contributor are never written — the output buffer is pre-zeroed
+    # and any boundary rows were SET to zero by their owning tile
+    @pl.when(nchunks >= 1)
+    def _():
+        write_copy(0, 0).wait()
 
-    jax.lax.fori_loop(nchunks, nchunks_all, zero_body, 0)
+    @pl.when(nchunks >= 2)
+    def _():
+        write_copy(1, 1).wait()
 
 
 def _fwd_call(data, starts, counts, tile, chunk, interpret):
@@ -368,12 +379,14 @@ def _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, p), lambda bb, tt, sb, st: (bb, tt, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, 16, chunk), jnp.float32),
+            pltpu.VMEM((2, 16, chunk), jnp.float32),
             pltpu.VMEM((16, chunk), jnp.float32),
-            pltpu.VMEM((16, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -383,7 +396,10 @@ def _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 16, epad), jnp.float32),
         interpret=interpret,
-    )(starts, counts, data, featpix, out, gout)
+        input_output_aliases={6: 0},  # pre-zeroed dgrad buffer (args: 2
+        #                               scalar-prefetch + 4 inputs + this)
+    )(starts, counts, data, featpix, out, gout,
+      jnp.zeros((b, 16, epad), jnp.float32))
     return dgrad
 
 

@@ -19,7 +19,7 @@ SHAPES = [  # (tag, B, H, W, Ci, Co)
     ("vae512x128", 4, 512, 512, 128, 128),
     ("vae256x256", 4, 256, 256, 256, 256),
     ("vae128x512", 4, 128, 128, 512, 512),
-    ("unet64x320", 12, 64, 64, 320, 320),
+    ("unet64x640", 12, 64, 64, 640, 640),
     ("unet32x640", 12, 32, 32, 640, 640),
     ("unet16x1280", 12, 16, 16, 1280, 1280),
     ("vgg207x256", 4, 208, 144, 256, 256),
