@@ -198,9 +198,13 @@ def main():
     # actually moves/computes vs v5e peaks (~820 GB/s HBM, 197 TF/s bf16 /
     # ~98 TF/s f32). The compositor is gather/sort/HBM-bound, not MXU-bound.
     # n_live measured above via count_live_instances on this exact scene.
+    from gaussianip_tpu.render.render import _auto_pool
+    e_univ = cfg.inline * n + _auto_pool(n, cfg.chunk, res, res, cfg.inline,
+                                         cfg.tile, cfg.d_max)
     bytes_moved = (
         n_live * (10 + 16 + 16 + 16) * 4  # gather + data + dgrad rw (f32)
-        + 2.5 * n_live * 4 * 2 * 2        # sort universe keys+vals, r/w
+        + e_univ * 4 * 3 * 2 * 2          # sort universe (keys+2 vals), r/w,
+        #                                   fwd sort + inv sort
         + 4096 * 8 * 256 * 4 * 3          # tile accumulators out+bwd reads
     )
     hbm_gbs = bytes_moved / t_fb / 1e9

@@ -164,29 +164,28 @@ def bin_instances(
     gid_in = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, inline)).reshape(-1)
 
-    # tier 2: pool slots. Segment id/start/end via mark-scatter + cummax
-    # (no per-slot gathers into [N] except the packed table below).
+    # tier 2: pool slots. Owning gaussian via mark-scatter + cumsum; its
+    # segment bounds ride the SAME per-gaussian row gather as the geometry
+    # (one 4-col gather replaces the two pool-wide cummax scans an earlier
+    # version used for seg_start/seg_end).
     j = jnp.arange(pool, dtype=jnp.int32)
     # unclipped offsets: gaussians whose segment starts beyond the pool drop
     # out entirely (mode="drop") instead of corrupting the last slot
-    seg_start = jnp.zeros((pool,), jnp.int32).at[pool_ofs].max(
-        pool_ofs, mode="drop")
-    seg_start = jax.lax.cummax(seg_start)
-    seg_end = jnp.zeros((pool,), jnp.int32).at[pool_ofs].max(
-        pool_ofs + extra_eff, mode="drop")
-    seg_end = jax.lax.cummax(seg_end)
     marks = jnp.zeros((pool,), jnp.int32).at[pool_ofs].add(1, mode="drop")
     pool_g = jnp.cumsum(marks) - 1  # [pool] owning gaussian (may be stale
     #                                 for dead slots; ok_pool masks those)
-    ok_pool = (j < seg_end) & (j >= seg_start) & (pool_g >= 0)
     pg = jnp.clip(pool_g, 0, n - 1)
-    # packed per-gaussian table -> ONE 2-col row gather (row gathers
-    # amortize over width; two separate scalar gathers pay twice)
+    # packed per-gaussian table -> ONE 4-col row gather (row gathers
+    # amortize over width; separate scalar gathers pay per column)
     table = jnp.stack(
-        [tmin_x | (tmin_y << 8) | (w_safe << 16), rank], axis=-1)  # [N, 2]
+        [tmin_x | (tmin_y << 8) | (w_safe << 16), rank, pool_ofs, extra_eff],
+        axis=-1)  # [N, 4]
     tp = jnp.take_along_axis(table, pg[:, None], axis=0)
     a = tp[:, 0]
     rank_p = tp[:, 1]
+    seg_start = tp[:, 2]
+    seg_end = tp[:, 2] + tp[:, 3]
+    ok_pool = (j >= seg_start) & (j < seg_end) & (pool_g >= 0)
     aw = (a >> 16) & 0xFF
     # clamp: dead slots far past their segment would overflow the f32
     # division path (ok_pool masks them anyway)
@@ -234,13 +233,13 @@ def bin_instances(
     counts = ends - starts
 
     if with_inv:
-        # inverse permutation via a second sort of (em, position-or-dead):
-        # em is an exact permutation of [0, e) — every emission slot appears
-        # once (live or dead; among equal sentinel keys the stable sort
-        # keeps real slots ahead of pow2 padding). The "scatter" mode
-        # (unique-index scatter) looks free in isolated microbenches but
-        # costs ~200 ms in the full graph on v5e — XLA TPU scatter lowering
-        # is pathological; do not flip it on without an end-to-end measure.
+        # inverse permutation of em (an exact permutation of [0, e) — every
+        # emission slot appears once; among equal sentinel keys the stable
+        # sort keeps real slots ahead of pow2 padding). "scatter"
+        # (unique-index scatter) measures 3 ms faster end-to-end than the
+        # second sort at the inline=1/450k layout (scripts/probe_ab3.py,
+        # r3) — earlier layouts hit a ~200 ms XLA scatter pathology, so
+        # re-measure end-to-end if the layout changes again.
         pos = jnp.arange(e, dtype=jnp.int32)
         pv = jnp.where(live, pos, e)
         if inv_mode == "scatter":

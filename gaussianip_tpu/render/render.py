@@ -41,6 +41,13 @@ class RenderConfig:
     # overflow pool. 1 measured fastest at 1024^2/100k (the sort universe
     # inline*N + pool is smallest; scripts/probe_inline.py: 53 -> 40.5 ms)
     inline: int = struct.field(pytree_node=False, default=1)
+    # emission->sorted inverse: "scatter" (unique-index scatter; 3 ms
+    # faster end-to-end at 1024^2/100k, scripts/probe_ab3.py) or "sort"
+    # (second key sort; the safe fallback if scatter lowering regresses)
+    inv_mode: str = struct.field(pytree_node=False, default="scatter")
+    # carry the gaussian id through the main sort (3rd operand) vs recover
+    # it post-sort via order[key & rank_mask]
+    carry_gid: bool = struct.field(pytree_node=False, default=True)
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
 
@@ -187,7 +194,8 @@ def render(
         lambda m, r, z, v: bin_instances(
             m, r, z, v, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
             d_max=cfg.d_max, pool=pool, chunk=cfg.chunk, with_inv=True,
-            inline=cfg.inline,
+            inline=cfg.inline, inv_mode=cfg.inv_mode,
+            carry_gid=cfg.carry_gid,
         )
     )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid)
 

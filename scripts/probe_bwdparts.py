@@ -81,7 +81,7 @@ def build(state):
         [proj.mean2d, proj.conic,
          (proj.opacity * jnp.ones((batch, n)))[..., None], proj.color,
          proj.depth[..., None]], axis=-1)
-    inst = _gather_rows(packed, binning.gidx, n, binning.inv_em,
+    inst = _gather_rows(packed, binning.gidx, n, INLINE, binning.inv_em,
                         binning.pool_ofs, binning.pool_len)
     rv = (binning.gidx < n)[..., None]
     tile_safe = jnp.minimum(binning.tile_of, nt - 1)
@@ -137,7 +137,7 @@ def ct_fb_k(data):
 
 
 def loss_gr(pk):
-    inst = _gather_rows(pk, binning.gidx, n, binning.inv_em,
+    inst = _gather_rows(pk, binning.gidx, n, INLINE, binning.inv_em,
                         binning.pool_ofs, binning.pool_len)
     return jnp.sum(inst * inst)
 
