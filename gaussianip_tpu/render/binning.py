@@ -170,7 +170,9 @@ def bin_instances(
     # version used for seg_start/seg_end).
     j = jnp.arange(pool, dtype=jnp.int32)
     # unclipped offsets: gaussians whose segment starts beyond the pool drop
-    # out entirely (mode="drop") instead of corrupting the last slot
+    # out entirely (mode="drop") instead of corrupting the last slot.
+    # (A/B r3, scripts/probe_sortab.py: searchsorted-based ownership is
+    # ~40 ms SLOWER end-to-end — XLA lowers it to a gather loop)
     marks = jnp.zeros((pool,), jnp.int32).at[pool_ofs].add(1, mode="drop")
     pool_g = jnp.cumsum(marks) - 1  # [pool] owning gaussian (may be stale
     #                                 for dead slots; ok_pool masks those)
@@ -203,27 +205,34 @@ def bin_instances(
     # instead (kept for A/B, measured neutral).
     keys = jnp.concatenate([key_in, key_pool])
     vals = jnp.arange(e, dtype=jnp.int32)
-    gid = jnp.concatenate([gid_in, pg]) if carry_gid else None
+    gid_all = jnp.concatenate([gid_in, pg])
+    # the emission-index payload is only needed for the inverse permutation
+    # (with_inv) or post-sort gid recovery (carry_gid=False) — don't pay for
+    # a dead sort operand otherwise
+    need_em = with_inv or not carry_gid
     pad = (_next_pow2(e) - e) if pad_pow2 else 0
     if pad:
         keys = jnp.pad(keys, (0, pad), constant_values=sentinel_key)
         vals = jnp.pad(vals, (0, pad), constant_values=e)
-        if carry_gid:
-            gid = jnp.pad(gid, (0, pad), constant_values=n)
-    if carry_gid:
-        keys_s, em_s, gid_s = jax.lax.sort((keys, vals, gid), num_keys=1)
+        gid_all_p = jnp.pad(gid_all, (0, pad), constant_values=n)
     else:
-        keys_s, em_s = jax.lax.sort((keys, vals), num_keys=1)
-    keys_c = keys_s[:e]
-    em = em_s[:e]
+        gid_all_p = gid_all
+    ops = ((keys,) + ((vals,) if need_em else ())
+           + ((gid_all_p,) if carry_gid else ()))
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    keys_c = sorted_ops[0][:e]
+    em = sorted_ops[1][:e] if need_em else None
+    gid_s = sorted_ops[-1] if carry_gid else None
 
     tile_sorted = (keys_c >> rank_bits).astype(jnp.int32)
     live = keys_c != sentinel_key
     if carry_gid:
         gidx = jnp.where(live, gid_s[:e], n)
     else:
-        rank_mask = (1 << rank_bits) - 1
-        gidx = jnp.where(live, order[keys_c & rank_mask].astype(jnp.int32), n)
+        # recover the gaussian id with one post-sort gather from the
+        # emission-order gid table (em is an exact permutation of [0, e)) —
+        # trades the third sort payload for one 450k gather
+        gidx = jnp.where(live, gid_all[em], n)
 
     tile_ids = jnp.arange(nt, dtype=jnp.int32)
     starts = jnp.searchsorted(

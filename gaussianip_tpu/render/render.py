@@ -46,8 +46,17 @@ class RenderConfig:
     # (second key sort; the safe fallback if scatter lowering regresses)
     inv_mode: str = struct.field(pytree_node=False, default="scatter")
     # carry the gaussian id through the main sort (3rd operand) vs recover
-    # it post-sort via order[key & rank_mask]
+    # it post-sort with one gather from the emission-order gid table
     carry_gid: bool = struct.field(pytree_node=False, default=True)
+    # attribute-gather VJP: "emission" (custom reduction via the emission
+    # layout: inv gather + reshape-sum + segment cumsum-difference) or
+    # "scatter" (XLA's native scatter-add; also drops em/inv_em from the
+    # binning sort entirely). A/B r3 (scripts/probe_vjpab.py): scatter is
+    # ~1.5 ms faster at 1024^2/100k and exact (no prefix-sum cancellation)
+    vjp_mode: str = struct.field(pytree_node=False, default="scatter")
+    # precision of the triangular log-transmittance matmuls in the
+    # compositor ("highest" = 6-pass f32, "split2" = two bf16 passes on a hi+lo split)
+    tri: str = struct.field(pytree_node=False, default="highest")
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
 
@@ -193,7 +202,8 @@ def render(
     binning = jax.vmap(
         lambda m, r, z, v: bin_instances(
             m, r, z, v, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
-            d_max=cfg.d_max, pool=pool, chunk=cfg.chunk, with_inv=True,
+            d_max=cfg.d_max, pool=pool, chunk=cfg.chunk,
+            with_inv=(cfg.vjp_mode == "emission"),
             inline=cfg.inline, inv_mode=cfg.inv_mode,
             carry_gid=cfg.carry_gid,
         )
@@ -212,8 +222,14 @@ def render(
         ],
         axis=-1,
     )  # [B, N, 10]
-    inst = _gather_rows(packed, binning.gidx, n, cfg.inline, binning.inv_em,
-                        binning.pool_ofs, binning.pool_len)
+    if cfg.vjp_mode == "scatter":
+        gidx_safe = jnp.minimum(binning.gidx, n - 1)
+        inst = jnp.take_along_axis(packed, gidx_safe[..., None], axis=1)
+        inst = jnp.where((binning.gidx < n)[..., None], inst, 0.0)
+    else:
+        inst = _gather_rows(packed, binning.gidx, n, cfg.inline,
+                            binning.inv_em, binning.pool_ofs,
+                            binning.pool_len)
     rv = (binning.gidx < n)[..., None]
 
     tile_safe = jnp.minimum(binning.tile_of, ntx * nty - 1)
@@ -244,6 +260,7 @@ def render(
     data = jnp.pad(data, ((0, 0), (0, 0), (0, epad - e)))
     out = composite_tiles(
         data, binning.starts, binning.counts, tile, cfg.chunk, cfg.interpret,
+        cfg.tri,
     )
     rgb, depth, alpha = tiles_to_image(out, nty, ntx, tile, h, w)
     bgc = jnp.asarray(bg_color, jnp.float32)
