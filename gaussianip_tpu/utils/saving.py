@@ -126,3 +126,39 @@ class RunDirs:
         data.update(updates)
         save_json(mp, data)
         return data
+
+    def snapshot_code(self, repo_dir: Optional[str] = None):
+        """Record the exact code state that produced this run (the
+        reference's CodeSnapshotCallback, threestudio/utils/callbacks.py:
+        60-94, snapshots the git worktree): git commit + a patch of any
+        uncommitted changes, written under <run>/code/. Degrades to a no-op
+        outside a git checkout."""
+        import subprocess
+
+        repo = repo_dir or os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        out_dir = os.path.join(self.root, "code")
+
+        def git(*args):
+            return subprocess.run(
+                ["git", "-C", repo, *args], capture_output=True, text=True,
+                timeout=30)
+
+        try:
+            head = git("rev-parse", "HEAD")
+            if head.returncode != 0:
+                return None
+            os.makedirs(out_dir, exist_ok=True)
+            commit = head.stdout.strip()
+            with open(os.path.join(out_dir, "COMMIT"), "w") as f:
+                f.write(commit + "\n")
+            diff = git("diff", "HEAD")
+            if diff.stdout:
+                with open(os.path.join(out_dir, "uncommitted.patch"),
+                          "w") as f:
+                    f.write(diff.stdout)
+            self.manifest(code_commit=commit,
+                          code_dirty=bool(diff.stdout.strip()))
+            return commit
+        except Exception:
+            return None

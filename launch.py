@@ -487,6 +487,7 @@ def main():
     dirs = RunDirs(cfg["system"].get("log_path", "logs"), args.cur_time)
     dirs.manifest(config=args.config, stage_requested=stage,
                   prompt=cfg["system"]["prompt_processor"]["prompt"])
+    dirs.snapshot_code()  # reference CodeSnapshotCallback (callbacks.py:60-94)
 
     np.random.seed(int(cfg.get("seed", 42)))
 

@@ -58,6 +58,20 @@ def test_profiling_utils(tmp_path):
     assert "wall_s_s1" in manifest
 
 
+def test_code_snapshot(tmp_path):
+    from gaussianip_tpu.utils.saving import RunDirs
+
+    dirs = RunDirs(str(tmp_path), "run1")
+    commit = dirs.snapshot_code()  # repo root is a git checkout
+    assert commit is not None and len(commit) == 40
+    with open(os.path.join(dirs.root, "code", "COMMIT")) as f:
+        assert f.read().strip() == commit
+    assert dirs.manifest()["code_commit"] == commit
+    # non-repo dir degrades to None, no crash
+    assert RunDirs(str(tmp_path), "run2").snapshot_code(
+        repo_dir=str(tmp_path)) is None
+
+
 def test_mesh_helpers():
     mesh = make_data_mesh(8)
     x = np.zeros((8, 4), np.float32)

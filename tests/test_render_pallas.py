@@ -31,7 +31,10 @@ def make_cameras(b, h, w, dist=2.0):
     return jax.vmap(lambda m: camera_from_c2w(m, jnp.float32(0.9), h, w))(c2w)
 
 
-@pytest.mark.parametrize("hw", [(48, 48), (40, 56)])
+# default tier keeps the non-square case (exercises the tile grid + padding
+# paths the square case doesn't); the square variant runs under -m slow
+@pytest.mark.parametrize(
+    "hw", [pytest.param((48, 48), marks=pytest.mark.slow), (40, 56)])
 def test_pallas_matches_reference(rng, hw):
     h, w = hw
     state = make_scene(rng)
