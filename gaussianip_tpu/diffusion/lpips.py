@@ -29,25 +29,29 @@ LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 class VGG16Features(nn.Module):
     dtype: Any = jnp.float32
+    # conv plan override: tests instantiate a narrow 2-stage variant so the
+    # property/grad checks compile in seconds on 1-core CPU hosts
+    stages: Sequence = VGG16_STAGES
 
     @nn.compact
     def __call__(self, x):
         feats = []
         ci = 0
-        for si, (ch, n) in enumerate(VGG16_STAGES):
+        for si, (ch, n) in enumerate(self.stages):
             for li in range(n):
                 x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
                             name=f"conv_{ci}")(x)
                 x = nn.relu(x)
                 ci += 1
             feats.append(x)
-            if si < len(VGG16_STAGES) - 1:
+            if si < len(self.stages) - 1:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return feats
 
 
 class LPIPS(nn.Module):
     dtype: Any = jnp.float32
+    stages: Sequence = VGG16_STAGES
 
     @nn.compact
     def __call__(self, x, y, normalize: bool = True):
@@ -60,7 +64,8 @@ class LPIPS(nn.Module):
         scale = jnp.asarray(LPIPS_SCALE)
         x = (x - shift) / scale
         y = (y - shift) / scale
-        vgg = VGG16Features(dtype=self.dtype, name="vgg")
+        vgg = VGG16Features(dtype=self.dtype, stages=self.stages,
+                            name="vgg")
         fx = vgg(x)
         fy = vgg(y)
         total = 0.0
