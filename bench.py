@@ -22,6 +22,23 @@ def main():
     t_start = time.time()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "520"))
 
+    # watchdog: a hung TPU tunnel (device init / remote compile never
+    # returning) must produce a diagnosable JSON line, not an empty file
+    # (r3: the axon relay went down mid-round and every probe hung forever)
+    import threading
+
+    def _panic():
+        print(json.dumps({
+            "metric": "splat_render_fwd_bwd_1024px_100k",
+            "value": 0.0, "unit": "renders/s", "vs_baseline": 0.0,
+            "error": f"watchdog: no result within {budget_s + 120:.0f}s "
+                     "(TPU tunnel hung?)"}), flush=True)
+        os._exit(2)
+
+    watchdog = threading.Timer(budget_s + 120, _panic)
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
     import jax.numpy as jnp
 
@@ -212,6 +229,7 @@ def main():
     # fwd (3) + bwd (5 passes), f32 (HIGHEST)
     chunks = n_live / 128 * 1.3
     mxu_flops = chunks * (2 * 8 * 128 * 256 * 2 + 2 * 128 * 128 * 256) * (3 + 5) / 3
+    watchdog.cancel()
     print(json.dumps({
         "metric": "splat_render_fwd_bwd_1024px_100k",
         "value": round(fps_fb, 2),
