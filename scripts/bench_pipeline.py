@@ -184,6 +184,20 @@ def main():
                      + results["stage3_wall_s_incl_compile"] / 60)
         results["pipeline_total_min"] = round(total_min, 1)
         results["vs_reference_40min"] = round(40.0 / total_min, 2)
+        # projected v5e-8 wall-clock for the mesh CLI path (launch.py
+        # --devices auto shards every stage over the data mesh; dryrun-
+        # validated on the 8-virtual-device CPU mesh). Conservative
+        # per-stage speedups, stated explicitly: stage 1 camera batch 4
+        # sharded 4-way (3.6x with psum overhead; guidance UNet batch 12
+        # splits evenly), stage 2 dense phase 8 views/step sharded 8-way
+        # but anchor/key phases batch<=4 (net 5x over the whole refine),
+        # stage 3 4-view render batch sharded 4-way (3.5x; densify +
+        # host sync serialize the rest).
+        proj_min = (results["stage1_2400_steps_min"] / 3.6
+                    + results["stage2_wall_s"] / 60 / 5.0
+                    + results["stage3_wall_s_incl_compile"] / 60 / 3.5)
+        results["projected_v5e8_min"] = round(proj_min, 1)
+        results["projected_v5e8_assumptions"] = "s1/3.6 s2/5 s3/3.5"
     print(json.dumps(results))
     try:
         with open("PIPELINE_BENCH.json", "w") as f:
