@@ -26,7 +26,10 @@ jax.config.update("jax_platforms", "cpu")
 # dominate the heavy tests (cold-run cost unchanged)
 os.makedirs(".jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# threshold 0: the suite's cost is hundreds of SMALL eager/pjit compiles
+# (~30 ms each, 20 s total in the heaviest test alone) that a 1.0 s
+# threshold never caches
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
