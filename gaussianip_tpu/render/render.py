@@ -57,6 +57,12 @@ class RenderConfig:
     # precision of the triangular log-transmittance matmuls in the
     # compositor ("highest" = 6-pass f32, "split2" = two bf16 passes on a hi+lo split)
     tri: str = struct.field(pytree_node=False, default="highest")
+    # kernel-data assembly: "t16" materializes [B, E, 16] then swapaxes to
+    # [B, 16, EPAD] (one explicit relayout); "stack" writes the 16 channel
+    # planes [B, E] directly into [B, 16, EPAD] via jnp.stack(axis=1) so the
+    # gather + coefficient math fuse into per-plane writes with no transpose
+    # op (A/B r3 pending — probe_cut.py)
+    pack_mode: str = struct.field(pytree_node=False, default="t16")
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
 
@@ -238,26 +244,40 @@ def render(
     ).astype(jnp.float32)
     local = inst[..., 0:2] - origin
     coeff6 = gaussian_power_coeffs(local, inst[..., 2:5], inst[..., 5])
-    coeff8 = jnp.where(
-        rv,
-        jnp.concatenate([coeff6, jnp.zeros_like(coeff6[..., :2])], axis=-1),
-        0.0,
-    )
     ones = jnp.ones_like(inst[..., 9])
     zeros = jnp.zeros_like(ones)
-    feat8 = jnp.where(
-        rv,
-        jnp.stack(
-            [inst[..., 6], inst[..., 7], inst[..., 8],
-             inst[..., 9], ones, zeros, zeros, zeros], axis=-1,
-        ),
-        0.0,
-    )
+    if cfg.pack_mode == "stack":
+        # per-plane assembly: no transpose op — each [B, E] channel plane is
+        # an elementwise function of the gathered rows, written contiguously
+        rv1 = rv[..., 0]
+        z1 = jnp.zeros_like(ones)
+        planes = [jnp.where(rv1, coeff6[..., i], 0.0) for i in range(6)]
+        planes += [z1, z1]
+        planes += [jnp.where(rv1, inst[..., 6 + i], 0.0) for i in range(3)]
+        planes += [jnp.where(rv1, inst[..., 9], 0.0),
+                   jnp.where(rv1, ones, 0.0), z1, z1, z1]
+        data = jnp.stack(planes, axis=1)  # [B, 16, E]
+        data = jnp.pad(data, ((0, 0), (0, 0), (0, epad - e)))
+    else:
+        coeff8 = jnp.where(
+            rv,
+            jnp.concatenate([coeff6, jnp.zeros_like(coeff6[..., :2])],
+                            axis=-1),
+            0.0,
+        )
+        feat8 = jnp.where(
+            rv,
+            jnp.stack(
+                [inst[..., 6], inst[..., 7], inst[..., 8],
+                 inst[..., 9], ones, zeros, zeros, zeros], axis=-1,
+            ),
+            0.0,
+        )
 
-    # transposed [B, 16, EPAD] layout: one lane-aligned DMA per chunk in the
-    # kernel (coeff rows 0-7, feature rows 8-15)
-    data = jnp.swapaxes(jnp.concatenate([coeff8, feat8], axis=-1), 1, 2)
-    data = jnp.pad(data, ((0, 0), (0, 0), (0, epad - e)))
+        # transposed [B, 16, EPAD] layout: one lane-aligned DMA per chunk in
+        # the kernel (coeff rows 0-7, feature rows 8-15)
+        data = jnp.swapaxes(jnp.concatenate([coeff8, feat8], axis=-1), 1, 2)
+        data = jnp.pad(data, ((0, 0), (0, 0), (0, epad - e)))
     out = composite_tiles(
         data, binning.starts, binning.counts, tile, cfg.chunk, cfg.interpret,
         cfg.tri,

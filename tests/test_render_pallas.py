@@ -31,6 +31,21 @@ def make_cameras(b, h, w, dist=2.0):
     return jax.vmap(lambda m: camera_from_c2w(m, jnp.float32(0.9), h, w))(c2w)
 
 
+def test_pack_modes_bit_equal(rng):
+    # "stack" assembles the [B, 16, EPAD] kernel data without the swapaxes
+    # relayout; both modes must produce identical images
+    state = make_scene(rng)
+    cams = make_cameras(2, 40, 56)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    base = dict(backend="pallas", interpret=True, tile=16, chunk=128,
+                d_max=16)
+    a = render(state, cams, bg, RenderConfig(**base, pack_mode="t16"))
+    b = render(state, cams, bg, RenderConfig(**base, pack_mode="stack"))
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    np.testing.assert_array_equal(np.asarray(a.alpha), np.asarray(b.alpha))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+
+
 # default tier keeps the non-square case (exercises the tile grid + padding
 # paths the square case doesn't); the square variant runs under -m slow
 @pytest.mark.parametrize(
