@@ -123,9 +123,25 @@ def make_refine_step(models: RefineModels, ddim: DDIMSchedule,
         return jax.tree_util.tree_map(c, tree)
 
     def step(unet_params, controlnet_params, latents, t, t_prev, context,
-             control, vcr_mode, vcr_cache, vcr_weights):
+             control, vcr_mode, vcr_cache, vcr_weights, vcr_idx):
         # params ride as ARGUMENTS: closed-over multi-GB weights get baked
         # into the lowered graph as constants (NOTES gotcha #2)
+        # vcr_idx set -> vcr_cache holds the RAW stored caches and the
+        # per-layer source rows are gathered HERE, inside the jit. The old
+        # eager path (stack_srcs outside jit) issued ~2 x n_layers x 13
+        # device ops per denoise step; through the axon tunnel's ~25 ms
+        # RPC floor that dominated stage-2 wall-clock.
+        if vcr_idx is not None and vcr_mode == "key":
+            (cache_a,) = vcr_cache
+            vcr_cache = [jnp.take(c, vcr_idx[0], axis=0) for c in cache_a]
+        elif vcr_idx is not None and vcr_mode == "dense":
+            cache_a, cache_k = vcr_cache
+            comb = [jnp.concatenate([a, k], axis=0)
+                    for a, k in zip(cache_a, cache_k)]
+            vcr_cache = (
+                [jnp.take(c, vcr_idx[0], axis=0) for c in comb],
+                [jnp.take(c, vcr_idx[1], axis=0) for c in comb],
+            )
         lat_in = _shard(jnp.concatenate([latents] * 2, axis=0))
         t_in = jnp.full((lat_in.shape[0],), t, jnp.int32)
         ctrl_in = _shard(jnp.concatenate([control] * 2, axis=0))
@@ -149,16 +165,18 @@ def make_refine_step(models: RefineModels, ddim: DDIMSchedule,
     jitted = {}
 
     def run(latents, t, t_prev, context, control, vcr_mode="off",
-            vcr_cache=None, vcr_weights=None):
-        key = (vcr_mode, latents.shape)
+            vcr_cache=None, vcr_weights=None, vcr_idx=None):
+        key = (vcr_mode, latents.shape, vcr_idx is None)
         if key not in jitted:
+            has_idx = vcr_idx is not None
             jitted[key] = jax.jit(
-                lambda up, cnp, l, tt, tp, cx, ct, vc, vw: step(
-                    up, cnp, l, tt, tp, cx, ct, vcr_mode, vc, vw),
+                lambda up, cnp, l, tt, tp, cx, ct, vc, vw, vi: step(
+                    up, cnp, l, tt, tp, cx, ct, vcr_mode, vc, vw,
+                    vi if has_idx else None),
             )
         return jitted[key](models.unet_params, models.controlnet_params,
                            latents, t, t_prev, context, control, vcr_cache,
-                           vcr_weights)
+                           vcr_weights, vcr_idx)
 
     return run
 
@@ -247,21 +265,22 @@ def refine_views(
         co = jnp.stack([contexts[n_][1] for n_ in names])
         return jnp.concatenate([un, co], axis=0)
 
-    def index_cache(cache, names):
-        """name -> (cache ref, uncond row, cond row): views reference rows
-        of the batched cache arrays — no per-view copy (HBM is tight)."""
-        b = len(names)
-        return {n_: (cache, i, b + i) for i, n_ in enumerate(names)}
+    # source rows in the per-step caches, by name. Anchors live in cache_a
+    # ([2*4, S, D]: uncond rows 0-3, cond rows 4-7), keys in cache_k (same
+    # layout); the dense phase indexes the in-jit concat [cache_a; cache_k]
+    # (anchor un 0-3 / co 4-7, key un 8-11 / co 12-15). The row gathers
+    # happen INSIDE the jitted step (run_step vcr_idx) — no eager per-layer
+    # stacking through the device tunnel.
+    b_a = len(anchor_names)
+    rows_a = {n_: (i, b_a + i) for i, n_ in enumerate(anchor_names)}
+    rows_comb = {**rows_a}
+    rows_comb.update({n_: (2 * b_a + j, 3 * b_a + j)
+                      for j, n_ in enumerate(key_names)})
 
-    def stack_srcs(cur, src_names):
-        """per-layer [2B, S, D] sources for a batch (uncond rows; cond rows)."""
-        n_layers = len(cur[src_names[0]][0])
-        out = []
-        for li in range(n_layers):
-            uns = [cur[s][0][li][cur[s][1]] for s in src_names]
-            cos = [cur[s][0][li][cur[s][2]] for s in src_names]
-            out.append(jnp.stack(uns + cos, axis=0))
-        return out
+    def src_idx(names, table):
+        un = [table[n_][0] for n_ in names]
+        co = [table[n_][1] for n_ in names]
+        return jnp.asarray(un + co, jnp.int32)
 
     ctx_a = batch_ctx(anchor_names)
     ctx_k = batch_ctx(key_names)
@@ -285,30 +304,33 @@ def refine_views(
                 control_images[jnp.asarray(midxs)],
             ))
 
+    idx_key = src_idx([ANCHOR_OF_KEY[n_] for n_ in key_names], rows_a)
+    dense_idx = [
+        (src_idx([KEY_VIEW_NAME_PAIR[n_][0] for n_ in mnames], rows_comb),
+         src_idx([KEY_VIEW_NAME_PAIR[n_][1] for n_ in mnames], rows_comb))
+        for (_, mnames, _, _, _) in dense_batches
+    ]
+
     for t, tp in zip(steps, prevs):
         t, tp = int(t), int(tp)
         # phase A: anchors (batched) store their attention states
         lat_a, cache_a = run_step(lat[jnp.asarray(anchor_idxs)], t, tp,
                                   ctx_a, ctrl_a, vcr_mode="store")
-        cur = index_cache(cache_a, anchor_names)
         lat = lat.at[jnp.asarray(anchor_idxs)].set(lat_a)
         # phase B: keys (batched) attend over concat(self, their anchor)
-        src_k = stack_srcs(cur, [ANCHOR_OF_KEY[n_] for n_ in key_names])
         lat_k, cache_k = run_step(lat[jnp.asarray(key_idxs)], t, tp,
                                   ctx_k, ctrl_k, vcr_mode="key",
-                                  vcr_cache=src_k)
-        cur.update(index_cache(cache_k, key_names))
+                                  vcr_cache=(cache_a,),
+                                  vcr_idx=(idx_key,))
         lat = lat.at[jnp.asarray(key_idxs)].set(lat_k)
         # phase C: dense groups blend self + two key views
-        for (w_l, w_r), mnames, midxs, ctx_d, ctrl_d in dense_batches:
-            src_l = stack_srcs(cur, [KEY_VIEW_NAME_PAIR[n_][0]
-                                     for n_ in mnames])
-            src_r = stack_srcs(cur, [KEY_VIEW_NAME_PAIR[n_][1]
-                                     for n_ in mnames])
+        for gi, ((w_l, w_r), mnames, midxs, ctx_d, ctrl_d) in enumerate(
+                dense_batches):
             weights = {"w_l": w_l, "w_r": w_r, "lambda_self": lambda_self}
             lat_d, _ = run_step(lat[jnp.asarray(midxs)], t, tp, ctx_d,
                                 ctrl_d, vcr_mode="dense",
-                                vcr_cache=(src_l, src_r),
+                                vcr_cache=(cache_a, cache_k),
+                                vcr_idx=dense_idx[gi],
                                 vcr_weights=weights)
             lat = lat.at[jnp.asarray(midxs)].set(lat_d)
         # sync per step: async dispatch would otherwise keep several steps'
@@ -316,7 +338,7 @@ def refine_views(
         lat.block_until_ready()
 
     # drop the final step's attention caches before the decode sweep
-    del cur, cache_a, cache_k, src_k, src_l, src_r, lat_a, lat_k, lat_d
+    del cache_a, cache_k, lat_a, lat_k, lat_d
     return decode(lat)
 
 
