@@ -123,7 +123,13 @@ def make_refine_step(models: RefineModels, ddim: DDIMSchedule,
         return jax.tree_util.tree_map(c, tree)
 
     def step(unet_params, controlnet_params, latents, t, t_prev, context,
-             control, vcr_mode, vcr_cache, vcr_weights, vcr_idx):
+             control, vcr_mode, vcr_cache, vcr_weights, vcr_idx, view_idx):
+        # view_idx set -> `latents` is the FULL 32-view latent stack; the
+        # view-batch gather and the writeback scatter live inside the jit
+        # (two fewer eager device ops per phase through the tunnel)
+        full_lat = latents
+        if view_idx is not None:
+            latents = jnp.take(full_lat, view_idx, axis=0)
         # params ride as ARGUMENTS: closed-over multi-GB weights get baked
         # into the lowered graph as constants (NOTES gotcha #2)
         # vcr_idx set -> vcr_cache holds the RAW stored caches and the
@@ -160,23 +166,27 @@ def make_refine_step(models: RefineModels, ddim: DDIMSchedule,
         eps = _cfg_eps(eps, guidance_scale)
         new_latents = ddim_step(ddim, eps, jnp.full((latents.shape[0],), t),
                                 jnp.full((latents.shape[0],), t_prev), latents)
+        if view_idx is not None:
+            return full_lat.at[view_idx].set(new_latents), cache
         return new_latents, cache
 
     jitted = {}
 
     def run(latents, t, t_prev, context, control, vcr_mode="off",
-            vcr_cache=None, vcr_weights=None, vcr_idx=None):
-        key = (vcr_mode, latents.shape, vcr_idx is None)
+            vcr_cache=None, vcr_weights=None, vcr_idx=None, view_idx=None):
+        key = (vcr_mode, latents.shape, vcr_idx is None, view_idx is None,
+               None if view_idx is None else view_idx.shape)
         if key not in jitted:
             has_idx = vcr_idx is not None
+            has_view = view_idx is not None
             jitted[key] = jax.jit(
-                lambda up, cnp, l, tt, tp, cx, ct, vc, vw, vi: step(
+                lambda up, cnp, l, tt, tp, cx, ct, vc, vw, vi, wi: step(
                     up, cnp, l, tt, tp, cx, ct, vcr_mode, vc, vw,
-                    vi if has_idx else None),
+                    vi if has_idx else None, wi if has_view else None),
             )
         return jitted[key](models.unet_params, models.controlnet_params,
                            latents, t, t_prev, context, control, vcr_cache,
-                           vcr_weights, vcr_idx)
+                           vcr_weights, vcr_idx, view_idx)
 
     return run
 
@@ -311,34 +321,36 @@ def refine_views(
         for (_, mnames, _, _, _) in dense_batches
     ]
 
+    vi_a = jnp.asarray(anchor_idxs, jnp.int32)
+    vi_k = jnp.asarray(key_idxs, jnp.int32)
+    vi_d = [jnp.asarray(midxs, jnp.int32)
+            for (_, _, midxs, _, _) in dense_batches]
+
     for t, tp in zip(steps, prevs):
         t, tp = int(t), int(tp)
-        # phase A: anchors (batched) store their attention states
-        lat_a, cache_a = run_step(lat[jnp.asarray(anchor_idxs)], t, tp,
-                                  ctx_a, ctrl_a, vcr_mode="store")
-        lat = lat.at[jnp.asarray(anchor_idxs)].set(lat_a)
+        # phase A: anchors (batched) store their attention states. Each
+        # phase call takes the FULL latent stack and its view indices; the
+        # gather + writeback happen inside the jit (no eager slicing)
+        lat, cache_a = run_step(lat, t, tp, ctx_a, ctrl_a, vcr_mode="store",
+                                view_idx=vi_a)
         # phase B: keys (batched) attend over concat(self, their anchor)
-        lat_k, cache_k = run_step(lat[jnp.asarray(key_idxs)], t, tp,
-                                  ctx_k, ctrl_k, vcr_mode="key",
-                                  vcr_cache=(cache_a,),
-                                  vcr_idx=(idx_key,))
-        lat = lat.at[jnp.asarray(key_idxs)].set(lat_k)
+        lat, cache_k = run_step(lat, t, tp, ctx_k, ctrl_k, vcr_mode="key",
+                                vcr_cache=(cache_a,), vcr_idx=(idx_key,),
+                                view_idx=vi_k)
         # phase C: dense groups blend self + two key views
         for gi, ((w_l, w_r), mnames, midxs, ctx_d, ctrl_d) in enumerate(
                 dense_batches):
             weights = {"w_l": w_l, "w_r": w_r, "lambda_self": lambda_self}
-            lat_d, _ = run_step(lat[jnp.asarray(midxs)], t, tp, ctx_d,
-                                ctrl_d, vcr_mode="dense",
-                                vcr_cache=(cache_a, cache_k),
-                                vcr_idx=dense_idx[gi],
-                                vcr_weights=weights)
-            lat = lat.at[jnp.asarray(midxs)].set(lat_d)
+            lat, _ = run_step(lat, t, tp, ctx_d, ctrl_d, vcr_mode="dense",
+                              vcr_cache=(cache_a, cache_k),
+                              vcr_idx=dense_idx[gi], vcr_weights=weights,
+                              view_idx=vi_d[gi])
         # sync per step: async dispatch would otherwise keep several steps'
         # attention caches alive at once and exhaust HBM
         lat.block_until_ready()
 
     # drop the final step's attention caches before the decode sweep
-    del cache_a, cache_k, lat_a, lat_k, lat_d
+    del cache_a, cache_k
     return decode(lat)
 
 
