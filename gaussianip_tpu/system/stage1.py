@@ -98,6 +98,8 @@ def make_train_step(
     skel_points3d,
     mesh=None,
     hand_centers=None,  # [2, 3] wrist keypoints (disable_hand_densification)
+    thread_key: bool = False,  # step returns (ts, metrics, next_key); the
+    #                            host loop threads keys with no eager splits
 ):
     """Build the jitted stage-1 step. `guidance(step, key, rgb, control, aux)
     -> {'loss_sds': scalar, ...}` must be differentiable in rgb.
@@ -201,6 +203,23 @@ def make_train_step(
     jitted = jax.jit(step_fn, donate_argnums=(0,))
     gp0 = getattr(guidance, "jit_params", None)
 
+    if thread_key:
+        # fold the host loop's per-step `key, k = split(key)` INTO the jit
+        # (the eager split is one device round-trip per step — ~25-38 ms
+        # each through the axon tunnel, 60-90 s over the 2400-step stage).
+        # Same split order as the host loop: bit-identical key sequence.
+        def step_thread(ts, key, gp):
+            key_next, k = jax.random.split(key)
+            new_ts, metrics = step_fn(ts, k, gp)
+            return new_ts, metrics, key_next
+
+        jitted_t = jax.jit(step_thread, donate_argnums=(0,))
+
+        def call(ts, key):
+            return jitted_t(ts, key, gp0)
+
+        return call
+
     def call(ts, key):
         return jitted(ts, key, gp0)
 
@@ -278,14 +297,13 @@ def train_stage1(
             f"{mesh.devices.size}-device data mesh")
     step_fn = make_train_step(
         cfg, cam_cfg, render_cfg, adam_hyper, guidance, skel_points3d,
-        mesh=mesh, hand_centers=hand_centers,
+        mesh=mesh, hand_centers=hand_centers, thread_key=True,
     )
     densify, prune = make_densify_fns(cfg)
     n_steps = cfg.max_steps if n_steps is None else n_steps
     start = int(ts.step)
     for i in range(start, start + n_steps):
-        key, k = jax.random.split(key)
-        ts, metrics = step_fn(ts, k)
+        ts, metrics, key = step_fn(ts, key)
         if densify_due(cfg, i):
             key, k = jax.random.split(key)
             ts, _ = densify(ts, k)
