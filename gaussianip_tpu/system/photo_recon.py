@@ -94,6 +94,9 @@ def make_recon_step(cfg: PhotoReconConfig, render_cfg: RenderConfig,
     b = cfg.batch_size
 
     def step_fn(ts: TrainState, key):
+        # key threads through the jit (host loop does no eager splits);
+        # split order matches the old host loop exactly
+        key_next, key = jax.random.split(key)
         k_ids, _ = jax.random.split(key)
         ids = jax.random.choice(k_ids, n_views, (b,), replace=False)
         cams = jax.vmap(lambda m, f: camera_from_c2w(m, f, res, res))(
@@ -123,7 +126,7 @@ def make_recon_step(cfg: PhotoReconConfig, render_cfg: RenderConfig,
                                    ts.step)
         return (TrainState(new_g, new_opt, stats, ts.step + 1),
                 {"loss": loss, "l1": aux["l1"], "psnr": aux["psnr"],
-                 "n_active": new_g.n_active})
+                 "n_active": new_g.n_active}, key_next)
 
     return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -169,8 +172,7 @@ def train_photo_recon(
             active_deg += 1  # oneupSHdegree (train.py:72-73)
             step_fn = make_recon_step(cfg, render_cfg, hyper, c2ws, fovys,
                                       images, active_deg)
-        key, k = jax.random.split(key)
-        ts, metrics = step_fn(ts, k)
+        ts, metrics, key = step_fn(ts, key)
         if (cfg.densify_from_iter <= i < cfg.densify_until_iter
                 and i % cfg.densification_interval == 0 and i > 0):
             key, k = jax.random.split(key)
