@@ -223,30 +223,40 @@ def refine_views(
 
     vae = models.vae
 
-    @jax.jit
-    def _encode1(vp, img):
-        x = img * 2.0 - 1.0
-        return vae.apply(vp, x, method=vae.encode)
+    # 1024^2 VAE activations are ~GB-scale per image: run 2-image batches
+    # serialized INSIDE one jit via lax.map (device-side serialization
+    # bounds live activations like the old per-call block_until_ready loop
+    # did, without 16 host round-trips per sweep)
+    vae_bs = 2
 
     @jax.jit
-    def _decode1(vp, lat):
-        x = vae.apply(vp, lat, method=vae.decode)
-        return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+    def _encode_all(vp, img):
+        n, h_, w_, c_ = img.shape
+        chunks = img.reshape(n // vae_bs, vae_bs, h_, w_, c_)
 
-    vae_bs = 2  # 1024^2 VAE activations are ~GB-scale per image: batch it
+        def one(ch):
+            return vae.apply(vp, ch * 2.0 - 1.0, method=vae.encode)
+
+        out = jax.lax.map(one, chunks)
+        return out.reshape(n, *out.shape[2:])
+
+    @jax.jit
+    def _decode_all(vp, lat):
+        n, h_, w_, c_ = lat.shape
+        chunks = lat.reshape(n // vae_bs, vae_bs, h_, w_, c_)
+
+        def one(ch):
+            x = vae.apply(vp, ch, method=vae.decode)
+            return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+
+        out = jax.lax.map(one, chunks)
+        return out.reshape(n, *out.shape[2:])
 
     def encode(img):
-        return jnp.concatenate(
-            [_encode1(models.vae_params, img[i : i + vae_bs])
-             for i in range(0, img.shape[0], vae_bs)], axis=0)
+        return _encode_all(models.vae_params, img)
 
     def decode(lat):
-        outs = []
-        for i in range(0, lat.shape[0], vae_bs):
-            o = _decode1(models.vae_params, lat[i : i + vae_bs])
-            o.block_until_ready()  # serialize: each 1024^2 decode holds
-            outs.append(o)         # multi-GB activations
-        return jnp.concatenate(outs, axis=0)
+        return _decode_all(models.vae_params, lat)
 
     latents0 = encode(images)  # [32, h, w, 4]
     noise = jax.random.normal(k_noise, latents0.shape[1:])[None]
