@@ -362,8 +362,9 @@ def run_stage2(cfg, dirs, args):
     refined = refine_views(models, images, control, contexts,
                            jax.random.PRNGKey(2024), mesh=mesh,
                            dense_batch=8 if mesh is not None else 4)
-    for i in range(refined.shape[0]):
-        save_image(dirs.path("save", f"refined_rgb_{i}.png"), refined[i])
+    refined_np = np.asarray(refined)  # one device pull, not 32
+    for i in range(refined_np.shape[0]):
+        save_image(dirs.path("save", f"refined_rgb_{i}.png"), refined_np[i])
     small = crop_and_downsample(refined) if refined.shape[1] >= 1024 else refined
     np.savez(dirs.path("after_refine.npz"),
              refined_rgbs_small=np.asarray(small))
