@@ -258,15 +258,24 @@ def run_stage1(cfg, dirs, args):
 
     cams = _jax.vmap(lambda m, f: camera_from_c2w(m, f, H, H))(
         orbit.c2w, orbit.fovy)
-    out = render(ts.gaussians, cams, jnp.zeros(3), rcfg)
+    # render the 32 handoff views in batch-4 sweeps: one batch-32 1024^2
+    # render needs ~3 GB of instance/sort/tile buffers at once and compiles
+    # a shape nothing else uses (batch 4 matches the stage-3 step shape)
+    rb = 4
+    rgb_chunks = []
+    for i in range(0, n_views, rb):
+        cams_i = _jax.tree_util.tree_map(lambda a: a[i : i + rb], cams)
+        rgb_chunks.append(np.asarray(
+            render(ts.gaussians, cams_i, jnp.zeros(3), rcfg).rgb))
+    rgb_np = np.concatenate(rgb_chunks, axis=0)
     head_zoom = (orbit.center_z == 0.65) & (orbit.azimuth_deg > 0)
     poses, _, _ = _jax.vmap(
         lambda m, a, hz: openpose_draw(jnp.asarray(sk.points3d), m, a, hz, H, H)
     )(orbit.mvp_mtx, orbit.azimuth_deg, head_zoom)
     np.savez(dirs.path("before_refine.npz"),
-             images=np.asarray(out.rgb), control_images=np.asarray(poses))
+             images=rgb_np, control_images=np.asarray(poses))
     for i in range(n_views):
-        save_image(dirs.path("save", f"raw_rgb_{i}.png"), out.rgb[i])
+        save_image(dirs.path("save", f"raw_rgb_{i}.png"), rgb_np[i])
 
     ply_path = dirs.path(f"it{n_steps}.ply")
     state_to_ply(ts.gaussians, ply_path)
