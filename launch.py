@@ -455,13 +455,16 @@ def run_stage3(cfg, dirs, args):
     test = eval_orbit_batch(cam_cfg, "test")
     frames = []
     He = cam_cfg.eval_height
-    for i in range(test.c2w.shape[0]):
+    nt = test.c2w.shape[0]
+    rb = 4 if nt % 4 == 0 else 1  # batch-4 sweeps reuse the stage-3 render
+    #                               shape's compiled executable
+    for i in range(0, nt, rb):
         cams = jax.vmap(lambda m, f: camera_from_c2w(m, f, He, He))(
-            test.c2w[i : i + 1], test.fovy[i : i + 1])
+            test.c2w[i : i + rb], test.fovy[i : i + rb])
         out = render(ts.gaussians, cams, jnp.zeros(3), RenderConfig())
-        frames.append(np.asarray(out.rgb[0]))
-        if i % 16 == 0:
-            save_image(dirs.path("save", "test", f"{i}.png"), out.rgb[0])
+        frames.extend(np.asarray(out.rgb))
+    for i in range(0, nt, 16):
+        save_image(dirs.path("save", "test", f"{i}.png"), frames[i])
     save_video(dirs.path("save", "test.mp4"), frames, fps=30)
     final_ply = dirs.path("save", "last.ply")
     state_to_ply(ts.gaussians, final_ply)
