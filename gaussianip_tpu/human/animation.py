@@ -193,11 +193,9 @@ class AvatarAnimator:
                                     render_cfg=render_cfg)
             frames.append((img * 255).astype(np.uint8))
         video = np.stack(frames)
-        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
-        try:
-            import imageio
+        from ..utils.saving import save_video
 
-            imageio.mimwrite(save_path, video, fps=fps)
-        except Exception:
-            np.save(save_path + ".npy", video)
+        # cv2 VideoWriter first (works in ffmpeg-less envs), then imageio,
+        # then .npy
+        save_video(save_path, video, fps=fps)
         return video
