@@ -116,7 +116,14 @@ class LoRADense(nn.Module):
 _CHUNKED_SCORE_BYTES = 7e9
 
 
-def _attend_chunked(q, k, v, q_chunk: int = 1024, kv_chunk: int = 1024):
+import os as _os
+
+_Q_CHUNK = int(_os.environ.get("GIP_ATTN_Q_CHUNK", "1024"))
+_KV_CHUNK = int(_os.environ.get("GIP_ATTN_KV_CHUNK", "1024"))
+
+
+def _attend_chunked(q, k, v, q_chunk: int = _Q_CHUNK,
+                    kv_chunk: int = _KV_CHUNK):
     """Exact attention, chunked over BOTH query and KV with a running
     (max, denominator, accumulator) — the flash-attention recurrence
     expressed in XLA ops, so the matmuls run at full MXU speed for any head
