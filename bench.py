@@ -31,11 +31,14 @@ def main():
         print(json.dumps({
             "metric": "splat_render_fwd_bwd_1024px_100k",
             "value": 0.0, "unit": "renders/s", "vs_baseline": 0.0,
-            "error": f"watchdog: no result within {budget_s + 120:.0f}s "
+            "error": f"watchdog: no result within {budget_s + 300:.0f}s "
                      "(TPU tunnel hung?)"}), flush=True)
         os._exit(2)
 
-    watchdog = threading.Timer(budget_s + 120, _panic)
+    # +300 s margin: a slow-but-healthy cold-cache run (unet subprocess
+    # slice + two 1024^2 compiles) can legitimately overshoot the budget;
+    # only a genuinely hung tunnel should trip this
+    watchdog = threading.Timer(budget_s + 300, _panic)
     watchdog.daemon = True
     watchdog.start()
 

@@ -118,17 +118,17 @@ _CHUNKED_SCORE_BYTES = 7e9
 
 import os as _os
 
-_Q_CHUNK = int(_os.environ.get("GIP_ATTN_Q_CHUNK", "1024"))
-_KV_CHUNK = int(_os.environ.get("GIP_ATTN_KV_CHUNK", "1024"))
 
-
-def _attend_chunked(q, k, v, q_chunk: int = _Q_CHUNK,
-                    kv_chunk: int = _KV_CHUNK):
+def _attend_chunked(q, k, v, q_chunk: int = 0, kv_chunk: int = 0):
     """Exact attention, chunked over BOTH query and KV with a running
     (max, denominator, accumulator) — the flash-attention recurrence
     expressed in XLA ops, so the matmuls run at full MXU speed for any head
     dim while the live score block stays at B*H*q_chunk*kv_chunk floats.
     q/k/v: [B, S, H, Dh]."""
+    # chunk sizes resolve from env at TRACE time (not import time) so A/B
+    # harnesses can flip them between jit calls in one process
+    q_chunk = q_chunk or int(_os.environ.get("GIP_ATTN_Q_CHUNK", "1024"))
+    kv_chunk = kv_chunk or int(_os.environ.get("GIP_ATTN_KV_CHUNK", "1024"))
     b, sq, h, dh = q.shape
     sk = k.shape[1]
     nq = -(-sq // q_chunk)

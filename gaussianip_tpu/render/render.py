@@ -246,6 +246,7 @@ def render(
     coeff6 = gaussian_power_coeffs(local, inst[..., 2:5], inst[..., 5])
     ones = jnp.ones_like(inst[..., 9])
     zeros = jnp.zeros_like(ones)
+    assert cfg.pack_mode in ("t16", "stack"), cfg.pack_mode
     if cfg.pack_mode == "stack":
         # per-plane assembly: no transpose op — each [B, E] channel plane is
         # an elementwise function of the gathered rows, written contiguously

@@ -141,9 +141,12 @@ def make_refine_step(models: RefineModels, ddim: DDIMSchedule,
             (cache_a,) = vcr_cache
             vcr_cache = [jnp.take(c, vcr_idx[0], axis=0) for c in cache_a]
         elif vcr_idx is not None and vcr_mode == "dense":
-            cache_a, cache_k = vcr_cache
-            comb = [jnp.concatenate([a, k], axis=0)
-                    for a, k in zip(cache_a, cache_k)]
+            if len(vcr_cache) == 2:  # (cache_a, cache_k): combine here
+                cache_a, cache_k = vcr_cache
+                comb = [jnp.concatenate([a, k], axis=0)
+                        for a, k in zip(cache_a, cache_k)]
+            else:  # (comb,): pre-combined once per step by the caller
+                (comb,) = vcr_cache
             vcr_cache = (
                 [jnp.take(c, vcr_idx[0], axis=0) for c in comb],
                 [jnp.take(c, vcr_idx[1], axis=0) for c in comb],
@@ -292,9 +295,10 @@ def refine_views(
     # happen INSIDE the jitted step (run_step vcr_idx) — no eager per-layer
     # stacking through the device tunnel.
     b_a = len(anchor_names)
+    b_k = len(key_names)
     rows_a = {n_: (i, b_a + i) for i, n_ in enumerate(anchor_names)}
     rows_comb = {**rows_a}
-    rows_comb.update({n_: (2 * b_a + j, 3 * b_a + j)
+    rows_comb.update({n_: (2 * b_a + j, 2 * b_a + b_k + j)
                       for j, n_ in enumerate(key_names)})
 
     def src_idx(names, table):
@@ -336,6 +340,11 @@ def refine_views(
     vi_d = [jnp.asarray(midxs, jnp.int32)
             for (_, _, midxs, _, _) in dense_batches]
 
+    # combine the anchor+key caches ONCE per step (the dense groups would
+    # otherwise each re-materialize the ~GB concat inside their own jit)
+    combine = jax.jit(lambda a, k: [jnp.concatenate([x, y], axis=0)
+                                    for x, y in zip(a, k)])
+
     for t, tp in zip(steps, prevs):
         t, tp = int(t), int(tp)
         # phase A: anchors (batched) store their attention states. Each
@@ -348,11 +357,12 @@ def refine_views(
                                 vcr_cache=(cache_a,), vcr_idx=(idx_key,),
                                 view_idx=vi_k)
         # phase C: dense groups blend self + two key views
+        comb = combine(cache_a, cache_k)
         for gi, ((w_l, w_r), mnames, midxs, ctx_d, ctrl_d) in enumerate(
                 dense_batches):
             weights = {"w_l": w_l, "w_r": w_r, "lambda_self": lambda_self}
             lat, _ = run_step(lat, t, tp, ctx_d, ctrl_d, vcr_mode="dense",
-                              vcr_cache=(cache_a, cache_k),
+                              vcr_cache=(comb,),
                               vcr_idx=dense_idx[gi], vcr_weights=weights,
                               view_idx=vi_d[gi])
         # sync per step: async dispatch would otherwise keep several steps'
@@ -360,7 +370,7 @@ def refine_views(
         lat.block_until_ready()
 
     # drop the final step's attention caches before the decode sweep
-    del cache_a, cache_k
+    del cache_a, cache_k, comb
     return decode(lat)
 
 

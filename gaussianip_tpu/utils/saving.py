@@ -157,8 +157,16 @@ class RunDirs:
                 with open(os.path.join(out_dir, "uncommitted.patch"),
                           "w") as f:
                     f.write(diff.stdout)
-            self.manifest(code_commit=commit,
-                          code_dirty=bool(diff.stdout.strip()))
+            # untracked files are part of the code state too (the reference
+            # callback snapshots them; a run driven by a new module would
+            # otherwise be recorded as clean at HEAD)
+            untracked = git("ls-files", "--others", "--exclude-standard")
+            ut_names = [u for u in untracked.stdout.splitlines() if u]
+            if ut_names:
+                with open(os.path.join(out_dir, "UNTRACKED"), "w") as f:
+                    f.write("\n".join(ut_names) + "\n")
+            dirty = bool(diff.stdout.strip()) or bool(ut_names)
+            self.manifest(code_commit=commit, code_dirty=dirty)
             return commit
         except Exception:
             return None
