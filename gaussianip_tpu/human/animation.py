@@ -70,7 +70,14 @@ class AvatarAnimator:
         self.params = smplx_params
         if motion_poses is None:
             motion_poses = np.load(motion_path)["poses"]
-        self.motion = np.asarray(motion_poses, np.float32)[:, 1:22]
+        mp = np.asarray(motion_poses, np.float32)
+        if mp.ndim == 2:
+            # raw AMASS layout [T, J*3] (SMPL-X: 165): unflatten to [T, J, 3]
+            # (the reference's bundled motions are pre-reshaped [T, 55, 3],
+            # reference animation.py:216; accept both)
+            assert mp.shape[1] % 3 == 0, f"bad pose dim {mp.shape}"
+            mp = mp.reshape(mp.shape[0], -1, 3)
+        self.motion = mp[:, 1:22]
         self.ori_center = None
         self.ori_scale = None
         self.mapping = None  # (dist, face, uvw) after bind

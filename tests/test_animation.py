@@ -102,3 +102,17 @@ def test_animator_bind_and_repose(rng):
     img = anim.render_frame(30.0, height=64, width=64,
                             render_cfg=None)
     assert img.shape == (64, 64, 3)
+
+
+def test_animator_accepts_flat_amass_poses(rng):
+    # raw AMASS stores poses [T, 165] flat; the bundled reference motions
+    # are pre-reshaped [T, 55, 3] — both layouts must load identically
+    m = make_test_model(rng, n_verts=60, n_faces=80)
+    st = create_from_pcd(np.zeros((4, 3), np.float32),
+                         np.full((4, 3), 0.5, np.float32), 64,
+                         [0.01] * 4)
+    motion3 = rng.normal(0, 0.05, (3, 55, 3)).astype(np.float32)
+    a1 = AvatarAnimator(st, m, motion_poses=motion3)
+    a2 = AvatarAnimator(st, m, motion_poses=motion3.reshape(3, 165))
+    np.testing.assert_array_equal(a1.motion, a2.motion)
+    assert a1.motion.shape == (3, 21, 3)
