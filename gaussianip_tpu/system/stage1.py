@@ -285,6 +285,8 @@ def train_stage1(
     val_fn: Callable[[int, "TrainState"], None] | None = None,
     mesh=None,
     hand_centers=None,
+    ckpt_every: int = 0,
+    ckpt_fn: Callable[[int, "TrainState"], None] | None = None,
 ):
     """Host schedule loop for stage 1 (validation renders every
     `val_every` steps, reference: configs/exp.yaml:194 + GaussianIP.py:509).
@@ -302,6 +304,10 @@ def train_stage1(
     densify, prune = make_densify_fns(cfg)
     n_steps = cfg.max_steps if n_steps is None else n_steps
     start = int(ts.step)
+    if start > 0:
+        # resumed run: advance the key stream so replayed steps don't reuse
+        # the original run's randomness
+        key = jax.random.fold_in(key, start)
     for i in range(start, start + n_steps):
         ts, metrics, key = step_fn(ts, key)
         if densify_due(cfg, i):
@@ -313,4 +319,7 @@ def train_stage1(
             log_fn(i, jax.device_get(metrics))
         if val_fn is not None and val_every and i % val_every == 0 and i > 0:
             val_fn(i, ts)
+        if (ckpt_fn is not None and ckpt_every and i > start
+                and i % ckpt_every == 0):
+            ckpt_fn(i, ts)
     return ts

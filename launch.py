@@ -238,12 +238,37 @@ def run_stage1(cfg, dirs, args):
                 f"n={int(m['n_active'])} ({time.time() - t0:.0f}s)")
         mlog.log(i, m)
 
+    # checkpoint/resume (the reference resumes via PL ckpt_path,
+    # reference launch.py:150): periodic npz of the full TrainState into
+    # the run dir; --resume continues from the latest one
+    from gaussianip_tpu.utils.checkpoint import (load_train_state_npz,
+                                                 save_train_state_npz)
+
+    ckpt_path = dirs.path("ckpt", "stage1_latest.npz")
+    if args.resume or args.resume_from:
+        import os as _os
+
+        src = args.resume_from or ckpt_path
+        if _os.path.exists(src):
+            ts = load_train_state_npz(src, ts)
+            gt = __import__("gaussianip_tpu")
+            gt.info(f"resumed stage 1 from {src} at step {int(ts.step)}")
+        else:
+            __import__("gaussianip_tpu").info(
+                f"--resume: no checkpoint at {src}; starting fresh")
+        n_steps = max(n_steps - int(ts.step), 0)
+
+    def save_ckpt(i, ts_state):
+        save_train_state_npz(ckpt_path, jax.device_get(ts_state))
+
+    ckpt_every = int(cfg["trainer"].get("ckpt_every_n_steps", 500))
     ts = train_stage1(ts, s1, cam_cfg, rcfg, AdamHyper(), guidance,
                       sk.points3d, jax.random.PRNGKey(cfg.get("seed", 42)),
                       n_steps=n_steps, log_fn=log,
                       log_every=int(cfg["trainer"].get("log_every_n_steps",
                                                        100)),
-                      val_every=val_every, val_fn=save_val, mesh=mesh)
+                      val_every=val_every, val_fn=save_val, mesh=mesh,
+                      ckpt_every=ckpt_every, ckpt_fn=save_ckpt)
 
     # render + save the 32 refine views (before_refine handoff)
     n_views = int(sys_cfg.get("refine_n_views", 32))
@@ -277,9 +302,10 @@ def run_stage1(cfg, dirs, args):
     for i in range(n_views):
         save_image(dirs.path("save", f"raw_rgb_{i}.png"), rgb_np[i])
 
-    ply_path = dirs.path(f"it{n_steps}.ply")
+    total_steps = int(ts.step)  # global step (resume-aware)
+    ply_path = dirs.path(f"it{total_steps}.ply")
     state_to_ply(ts.gaussians, ply_path)
-    dirs.manifest(stage1="done", stage1_steps=n_steps, ply=ply_path,
+    dirs.manifest(stage1="done", stage1_steps=total_steps, ply=ply_path,
                   stage1_wall_s=round(time.time() - t0, 1))
     import gaussianip_tpu as gt
 
@@ -486,6 +512,12 @@ def main():
     parser.add_argument("--stub-guidance", action="store_true",
                         help="weight-free smoke run (tiny random diffusion)")
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume stage 1 from the run dir's latest "
+                             "TrainState checkpoint")
+    parser.add_argument("--resume_from", default=None,
+                        help="explicit TrainState checkpoint path (implies "
+                             "--resume)")
     parser.add_argument("--devices", default="auto",
                         help="data-mesh size: auto (all visible chips), 1 "
                              "(single-device), or an explicit count")
