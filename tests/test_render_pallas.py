@@ -45,6 +45,17 @@ def test_pack_modes_bit_equal(rng):
     np.testing.assert_array_equal(np.asarray(a.alpha), np.asarray(b.alpha))
     np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
 
+    def loss(st, mode):
+        out = render(st, cams, bg, RenderConfig(**base, pack_mode=mode))
+        return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha)
+
+    ga = jax.grad(loss, allow_int=True)(state, "t16")
+    gb = jax.grad(loss, allow_int=True)(state, "stack")
+    for f in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ga, f)), np.asarray(getattr(gb, f)),
+            err_msg=f"pack-mode grad mismatch: {f}")
+
 
 # default tier keeps the non-square case (exercises the tile grid + padding
 # paths the square case doesn't); the square variant runs under -m slow
