@@ -73,3 +73,45 @@ def test_schedules():
     # prune-only: every 300 in (1700, 1900) -> only 1800
     assert prune_due(cfg, 1800)
     assert not prune_due(cfg, 1700) and not prune_due(cfg, 1500)
+
+
+@pytest.mark.slow
+def test_stage1_checkpoint_resume(rng, tmp_path):
+    from gaussianip_tpu.utils.checkpoint import (load_train_state_npz,
+                                                 save_train_state_npz)
+
+    sk = Skeleton(_test_model=make_test_model(rng, n_verts=200, n_faces=150))
+    sk.forward_smplx()
+    sk.scale(-10)
+    pts = sk.sample_smplx_points(200)
+    d2 = mean_dist2_3nn(jnp.asarray(pts), block=128)
+    gs = create_from_pcd(pts, np.full((200, 3), 0.5, np.float32), 512, d2)
+    cfg = Stage1Config(render_height=32, render_width=32, max_steps=6,
+                       densify_prune_start_step=100,
+                       densify_prune_end_step=100,
+                       prune_only_start_step=100, prune_only_end_step=100)
+    cam_cfg = CameraSamplerConfig(height=32, width=32, batch_size=2,
+                                  head_start_step=0, back_start_step=0)
+    guidance = make_stub_guidance(target_rgb=jnp.zeros((16, 16, 3)),
+                                  noise_scale=0.01)
+    saved = {}
+
+    def ckpt(i, ts_state):
+        saved["path"] = save_train_state_npz(
+            str(tmp_path / "ck.npz"), jax.device_get(ts_state))
+        saved["step"] = i
+
+    ts = train_stage1(gsinit := init_train_state(gs), cfg, cam_cfg,
+                      RenderConfig(backend="reference"), AdamHyper(),
+                      guidance, sk.points3d, jax.random.PRNGKey(0),
+                      n_steps=4, ckpt_every=3, ckpt_fn=ckpt)
+    assert saved["step"] == 3 and int(ts.step) == 4
+    # resume from the step-3 checkpoint and run to 6 total
+    ts2 = init_train_state(gs)
+    ts2 = load_train_state_npz(saved["path"], ts2)
+    assert int(ts2.step) == 4  # ckpt fires after the step-3 update
+    ts2 = train_stage1(ts2, cfg, cam_cfg, RenderConfig(backend="reference"),
+                       AdamHyper(), guidance, sk.points3d,
+                       jax.random.PRNGKey(0), n_steps=2)
+    assert int(ts2.step) == 6
+    assert np.isfinite(np.asarray(ts2.gaussians.xyz)).all()
