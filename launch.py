@@ -245,10 +245,11 @@ def run_stage1(cfg, dirs, args):
                                                  save_train_state_npz)
 
     ckpt_path = dirs.path("ckpt", "stage1_latest.npz")
-    if args.resume or args.resume_from:
+    resume_from = getattr(args, "resume_from", None)
+    if getattr(args, "resume", False) or resume_from:
         import os as _os
 
-        src = args.resume_from or ckpt_path
+        src = resume_from or ckpt_path
         if _os.path.exists(src):
             ts = load_train_state_npz(src, ts)
             gt = __import__("gaussianip_tpu")
