@@ -370,6 +370,126 @@ def _bwd_kernel(
             write_copy(1, 1).wait()
 
 
+def _fwd_kernel_hp(
+    starts_ref, counts_ref,  # scalar prefetch [B, NT]
+    data_hbm, featpix_ref,  # inputs
+    out_ref,  # output block (1, TPB, 8, P)
+    buf, sems, head_buf, head_sems,  # scratch
+    *, chunk: int, tile: int, tpb: int, tri_split: bool = False,
+):
+    """Head-prefetch forward: at 1024^2 the average tile holds 1-2 chunks,
+    so per-tile first-chunk DMA latency dominates the loop (~2-3 us x 4096
+    tiles). All TPB tiles' first chunks are issued up-front into dedicated
+    slots; only chunks >= 1 stream through the shared double buffer."""
+    b = pl.program_id(0)
+    tg = pl.program_id(1)
+    p = tile * tile
+
+    featpix = featpix_ref[:]
+    tri_ex = _tri(chunk, strict=True, upper=False)
+    log_eps = jnp.float32(-9.22)  # log(1e-4)
+
+    def head_copy(tl, t):
+        start = starts_ref[b, t]
+        base = pl.multiple_of((start // chunk) * chunk, chunk)
+        return pltpu.make_async_copy(
+            data_hbm.at[b, :, pl.ds(base, chunk)],
+            head_buf.at[tl],
+            head_sems.at[tl],
+        )
+
+    # issue every tile's first-chunk DMA before any compute
+    for tl in range(tpb):
+        t = tg * tpb + tl
+
+        @pl.when(counts_ref[b, t] > 0)
+        def _():
+            head_copy(tl, t).start()
+
+    for tl in range(tpb):
+        t = tg * tpb + tl
+        start = starts_ref[b, t]
+        count = counts_ref[b, t]
+        base = (start // chunk) * chunk
+        head = start - base
+        total = head + count
+        nchunks = jnp.where(count > 0, (total + chunk - 1) // chunk, 0)
+
+        out_ref[0, tl] = jnp.zeros((8, p), jnp.float32)
+
+        @pl.when(nchunks > 1)
+        def _():
+            _data_copy(data_hbm, buf, sems, b, base, 1, 1, chunk).start()
+
+        def cond(carry):
+            ci, log_t, last = carry
+            return (ci < nchunks) & (jnp.max(log_t) >= log_eps)
+
+        def body(carry):
+            ci, log_t, last = carry
+            slot = ci % 2
+
+            # chunk 1 was pre-issued before the loop; stream ci+1 for ci>=1
+            @pl.when((ci >= 1) & (ci + 1 < nchunks))
+            def _():
+                _data_copy(data_hbm, buf, sems, b, base, ci + 1, (ci + 1) % 2,
+                           chunk).start()
+
+            # chunk 0 arrives via the program-wide head prefetch; later
+            # chunks stream through the double buffer
+            @pl.when(ci == 0)
+            def _():
+                head_copy(tl, t).wait()
+
+            @pl.when(ci > 0)
+            def _():
+                _data_copy(data_hbm, buf, sems, b, base, ci, slot, chunk).wait()
+
+            def chunk_rows(ref):
+                return ref[0:8], ref[8:16]
+
+            coeff0, feat0 = chunk_rows(head_buf[tl])
+            coeffs, feats = chunk_rows(buf[slot])
+            use_head = ci == 0
+            coeff = jnp.where(use_head, coeff0, coeffs)
+            feat = jnp.where(use_head, feat0, feats)
+            raw, alpha, log_om = _chunk_alphas(coeff, featpix, head, total,
+                                               ci, chunk)
+            cum_ex = _dot_tri(tri_ex, log_om, ((1,), (0,)), tri_split)
+            t_excl = jnp.exp(log_t + cum_ex)
+            t_incl = t_excl * (1.0 - alpha)
+            contrib = (t_incl >= T_EPS) & (alpha > 0.0)
+            w = jnp.where(contrib, alpha * t_excl, 0.0)
+            out_ref[0, tl] += _dot(feat, w, ((1,), (0,)))
+
+            rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, p), 0)
+            idxf = (rows + ci * chunk).astype(jnp.float32)
+            last = jnp.maximum(
+                last,
+                jnp.max(jnp.where(contrib, idxf, -1.0), axis=0,
+                        keepdims=True))
+            log_t_new = (log_t + cum_ex[chunk - 1 : chunk, :]
+                         + log_om[chunk - 1 : chunk, :])
+            return (ci + 1, log_t_new, last)
+
+        ci_x, _, last = jax.lax.while_loop(
+            cond,
+            body,
+            (jnp.int32(0), jnp.zeros((1, p), jnp.float32),
+             jnp.full((1, p), -1.0, jnp.float32)),
+        )
+        # drains: the head copy if the loop never ran its first iteration
+        # cannot happen (log_t starts at 0 so iteration 0 always runs when
+        # nchunks > 0); an early exit leaves the prefetched chunk ci_x in
+        # flight for ci_x >= 1
+        @pl.when((ci_x >= 1) & (ci_x < nchunks))
+        def _():
+            _data_copy(data_hbm, buf, sems, b, base, ci_x, ci_x % 2,
+                       chunk).wait()
+
+        out_ref[0, tl, 5:6, :] = last
+
+
 def _pick_tpb(nt: int) -> int:
     # largest divisor of NT <= 8: amortizes the ~us per-program dispatch
     # overhead (grid 4096 -> 512 at 1024^2) while keeping the output block
@@ -380,12 +500,25 @@ def _pick_tpb(nt: int) -> int:
     return 1
 
 
-def _fwd_call(data, starts, counts, tile, chunk, interpret, tri="highest"):
+def _fwd_call(data, starts, counts, tile, chunk, interpret, tri="highest",
+              head_prefetch=False):
     b, _, epad = data.shape
     nt = starts.shape[1]
     p = tile * tile
     tpb = _pick_tpb(nt)
     featpix = _pixel_features(tile)
+    scratch = [
+        pltpu.VMEM((2, 16, chunk), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if head_prefetch:
+        scratch += [
+            pltpu.VMEM((tpb, 16, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((tpb,)),
+        ]
+        kern = _fwd_kernel_hp
+    else:
+        kern = _fwd_kernel
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, nt // tpb),
@@ -397,13 +530,10 @@ def _fwd_call(data, starts, counts, tile, chunk, interpret, tri="highest"):
         out_specs=pl.BlockSpec((1, tpb, 8, p),
                                lambda bb, tt, sb, st: (bb, tt, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, 16, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, chunk=chunk, tile=tile, tpb=tpb,
+        functools.partial(kern, chunk=chunk, tile=tile, tpb=tpb,
                           tri_split=(tri == "split2")),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nt, 8, p), jnp.float32),
@@ -457,9 +587,10 @@ def _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
     return dgrad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def composite_tiles(data, starts, counts, tile: int, chunk: int,
-                    interpret: bool = False, tri: str = "highest"):
+                    interpret: bool = False, tri: str = "highest",
+                    head_prefetch: bool = False):
     """Composite depth-sorted instance segments into per-tile accumulators.
 
     Args:
@@ -472,15 +603,18 @@ def composite_tiles(data, starts, counts, tile: int, chunk: int,
       [B, NT, 8, P] accumulators: rows 0-2 rgb, 3 alpha-weighted depth,
       4 accumulated alpha, 5 last-contributor index (internal).
     """
-    return _fwd_call(data, starts, counts, tile, chunk, interpret, tri)
+    return _fwd_call(data, starts, counts, tile, chunk, interpret, tri,
+                     head_prefetch)
 
 
-def _composite_fwd(data, starts, counts, tile, chunk, interpret, tri):
-    out = _fwd_call(data, starts, counts, tile, chunk, interpret, tri)
+def _composite_fwd(data, starts, counts, tile, chunk, interpret, tri,
+                   head_prefetch):
+    out = _fwd_call(data, starts, counts, tile, chunk, interpret, tri,
+                    head_prefetch)
     return out, (data, starts, counts, out)
 
 
-def _composite_bwd(tile, chunk, interpret, tri, res, gout):
+def _composite_bwd(tile, chunk, interpret, tri, head_prefetch, res, gout):
     data, starts, counts, out = res
     dgrad = _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
                       tri)

@@ -57,6 +57,10 @@ class RenderConfig:
     # precision of the triangular log-transmittance matmuls in the
     # compositor ("highest" = 6-pass f32, "split2" = two bf16 passes on a hi+lo split)
     tri: str = struct.field(pytree_node=False, default="highest")
+    # forward compositor head prefetch: issue all TPB tiles' first-chunk
+    # DMAs at program start (at 1024^2 the average tile is 1-2 chunks, so
+    # per-tile DMA latency dominates the loop). A/B pending (NOTES r3).
+    head_prefetch: bool = struct.field(pytree_node=False, default=False)
     # kernel-data assembly: "t16" materializes [B, E, 16] then swapaxes to
     # [B, 16, EPAD] (one explicit relayout); "stack" writes the 16 channel
     # planes [B, E] directly into [B, 16, EPAD] via jnp.stack(axis=1) so the
@@ -281,7 +285,7 @@ def render(
         data = jnp.pad(data, ((0, 0), (0, 0), (0, epad - e)))
     out = composite_tiles(
         data, binning.starts, binning.counts, tile, cfg.chunk, cfg.interpret,
-        cfg.tri,
+        cfg.tri, cfg.head_prefetch,
     )
     rgb, depth, alpha = tiles_to_image(out, nty, ntx, tile, h, w)
     bgc = jnp.asarray(bg_color, jnp.float32)

@@ -31,6 +31,32 @@ def make_cameras(b, h, w, dist=2.0):
     return jax.vmap(lambda m: camera_from_c2w(m, jnp.float32(0.9), h, w))(c2w)
 
 
+def test_head_prefetch_bit_equal(rng):
+    # the head-prefetch fwd kernel only changes DMA scheduling — outputs
+    # and gradients must be bitwise identical to the streaming kernel
+    state = make_scene(rng)
+    cams = make_cameras(2, 40, 56)
+    bg = jnp.array([0.0, 0.1, 0.2])
+    base = dict(backend="pallas", interpret=True, tile=16, chunk=128,
+                d_max=16)
+    a = render(state, cams, bg, RenderConfig(**base))
+    b = render(state, cams, bg, RenderConfig(**base, head_prefetch=True))
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    np.testing.assert_array_equal(np.asarray(a.alpha), np.asarray(b.alpha))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+
+    def loss(st, hp):
+        out = render(st, cams, bg, RenderConfig(**base, head_prefetch=hp))
+        return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha)
+
+    ga = jax.grad(loss, allow_int=True)(state, False)
+    gb = jax.grad(loss, allow_int=True)(state, True)
+    for f in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ga, f)), np.asarray(getattr(gb, f)),
+            err_msg=f"head-prefetch grad mismatch: {f}")
+
+
 def test_pack_modes_bit_equal(rng):
     # "stack" assembles the [B, 16, EPAD] kernel data without the swapaxes
     # relayout; both modes must produce identical images
