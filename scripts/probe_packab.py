@@ -82,8 +82,10 @@ t0 = time.time()
 t_rpc = timeit(trivial, state)
 print(f"[{time.time()-t0:.0f}s] rpc {t_rpc*1e3:.1f} ms", flush=True)
 for mode in ("t16", "stack"):
-    cfg = RenderConfig(backend="pallas", pack_mode=mode)
-    for grad in (False, True):
-        t = max(timeit(make(cfg, grad), state) - t_rpc, 1e-9) / K
-        print(f"[{time.time()-t0:.0f}s] pack={mode:5s} grad={int(grad)}"
-              f"  {t*1e3:7.2f} ms", flush=True)
+    for hp in (False, True):
+        cfg = RenderConfig(backend="pallas", pack_mode=mode,
+                           head_prefetch=hp)
+        for grad in (False, True):
+            t = max(timeit(make(cfg, grad), state) - t_rpc, 1e-9) / K
+            print(f"[{time.time()-t0:.0f}s] pack={mode:5s} hp={int(hp)} "
+                  f"grad={int(grad)}  {t*1e3:7.2f} ms", flush=True)
