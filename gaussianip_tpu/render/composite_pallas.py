@@ -223,8 +223,9 @@ def _bwd_kernel(
     starts_ref, counts_ref,
     data_hbm, featpix_ref, out_ref, gout_ref, dgrad_init_hbm,
     dgrad_hbm,
-    buf, dbuf, rmw_buf, sems, wsem, rsem,
+    buf, dbuf, rmw_buf, sems, wsem, rsem, head_buf, head_sems,
     *, chunk: int, tile: int, tpb: int, tri_split: bool = False,
+    hp: bool = False,
 ):
     del dgrad_init_hbm  # aliased to dgrad_hbm (pre-zeroed); never read
     b = pl.program_id(0)
@@ -234,6 +235,40 @@ def _bwd_kernel(
     featpix = featpix_ref[:]
     tri_in_up = _tri(chunk, strict=False, upper=True)  # inclusive suffix sums
     tri_ex_up = _tri(chunk, strict=True, upper=True)  # exclusive suffix sums
+
+    def tile_nchunks(t):
+        start = starts_ref[b, t]
+        count = counts_ref[b, t]
+        base = (start // chunk) * chunk
+        nchunks_all = jnp.where(
+            count > 0, (start - base + count + chunk - 1) // chunk, 0)
+        return base, nchunks_all
+
+    def head_copy(tl, t):
+        """The tile's LAST gradient-carrying chunk (bwd processes chunks in
+        reverse, so this is the first one needed)."""
+        base, nchunks_all = tile_nchunks(t)
+        ml = jnp.max(out_ref[0, tl, 5:6, :]).astype(jnp.int32)
+        nch = jnp.minimum(nchunks_all,
+                          jnp.where(ml < 0, 0, ml // chunk + 1))
+        hc = jnp.maximum(nch - 1, 0)
+        return nch, pltpu.make_async_copy(
+            data_hbm.at[b, :, pl.ds(
+                pl.multiple_of(base + hc * chunk, chunk), chunk)],
+            head_buf.at[tl],
+            head_sems.at[tl],
+        )
+
+    if hp:
+        # issue every tile's first-needed chunk before any compute (per-tile
+        # DMA latency dominates at 1-2 chunks/tile — see _fwd_kernel_hp)
+        for tl in range(tpb):
+            t = tg * tpb + tl
+            nch, cp = head_copy(tl, t)
+
+            @pl.when(nch > 0)
+            def _():
+                cp.start()
 
     # TPB consecutive tiles per program (grid-dispatch overhead — see
     # _fwd_kernel). Writes are drained before each tile ends, so the
@@ -304,24 +339,53 @@ def _bwd_kernel(
 
             write_copy(ci, slot).start()
 
-        @pl.when(nchunks > 0)
-        def _():
-            _data_copy(data_hbm, buf, sems, b, base, nchunks - 1,
-                       (nchunks - 1) % 2, chunk).start()
+        if hp:
+            # the last chunk already rides the program-wide head prefetch;
+            # pre-issue only the second-to-last for the streaming buffer
+            @pl.when(nchunks > 1)
+            def _():
+                _data_copy(data_hbm, buf, sems, b, base, nchunks - 2,
+                           (nchunks - 2) % 2, chunk).start()
+        else:
+            @pl.when(nchunks > 0)
+            def _():
+                _data_copy(data_hbm, buf, sems, b, base, nchunks - 1,
+                           (nchunks - 1) % 2, chunk).start()
 
         def body(i, carry):
             r_carry, log_s_carry = carry
             ci = nchunks - 1 - i
             slot = ci % 2
 
-            @pl.when(ci >= 1)
-            def _():
-                _data_copy(data_hbm, buf, sems, b, base, ci - 1, (ci - 1) % 2,
-                           chunk).start()
+            if hp:
+                @pl.when((i >= 1) & (ci >= 1))
+                def _():
+                    _data_copy(data_hbm, buf, sems, b, base, ci - 1,
+                               (ci - 1) % 2, chunk).start()
 
-            _data_copy(data_hbm, buf, sems, b, base, ci, slot, chunk).wait()
-            coeff = buf[slot, 0:8]
-            feat = buf[slot, 8:16]
+                @pl.when(i == 0)
+                def _():
+                    head_copy(tl, t)[1].wait()
+
+                @pl.when(i > 0)
+                def _():
+                    _data_copy(data_hbm, buf, sems, b, base, ci, slot,
+                               chunk).wait()
+
+                use_head = i == 0
+                coeff = jnp.where(use_head, head_buf[tl, 0:8], buf[slot, 0:8])
+                feat = jnp.where(use_head, head_buf[tl, 8:16],
+                                 buf[slot, 8:16])
+            else:
+                @pl.when(ci >= 1)
+                def _():
+                    _data_copy(data_hbm, buf, sems, b, base, ci - 1,
+                               (ci - 1) % 2, chunk).start()
+
+                _data_copy(data_hbm, buf, sems, b, base, ci, slot,
+                           chunk).wait()
+                coeff = buf[slot, 0:8]
+                feat = buf[slot, 8:16]
             raw, alpha, log_om = _chunk_alphas(coeff, featpix, head, total,
                                                ci, chunk)
             rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, p), 0)
@@ -543,7 +607,7 @@ def _fwd_call(data, starts, counts, tile, chunk, interpret, tri="highest",
 
 
 def _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
-              tri="highest"):
+              tri="highest", head_prefetch=False):
     b, _, epad = data.shape
     nt = starts.shape[1]
     p = tile * tile
@@ -572,11 +636,13 @@ def _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((tpb, 16, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((tpb,)),
         ],
     )
     dgrad = pl.pallas_call(
         functools.partial(_bwd_kernel, chunk=chunk, tile=tile, tpb=tpb,
-                          tri_split=(tri == "split2")),
+                          tri_split=(tri == "split2"), hp=head_prefetch),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 16, epad), jnp.float32),
         interpret=interpret,
@@ -617,7 +683,7 @@ def _composite_fwd(data, starts, counts, tile, chunk, interpret, tri,
 def _composite_bwd(tile, chunk, interpret, tri, head_prefetch, res, gout):
     data, starts, counts, out = res
     dgrad = _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
-                      tri)
+                      tri, head_prefetch)
     return dgrad, None, None
 
 
