@@ -20,7 +20,10 @@ import numpy as np
 
 from .skeleton import OPENPOSE18_COLORS, OPENPOSE18_LINES
 
-_COLORS = jnp.asarray(OPENPOSE18_COLORS / 255.0)
+# numpy at import: a module-level jnp.asarray would CREATE the
+# backend on import (and hang every `import gaussianip_tpu.*` when
+# the TPU tunnel is unreachable); jnp converts inside the jits
+_COLORS = np.asarray(OPENPOSE18_COLORS / 255.0)
 _LINES = OPENPOSE18_LINES
 # head-zoom visible set: nose, neck, r_elbow, l_elbow, eyes, ears
 # (reference: poser.py:843-852)
@@ -77,7 +80,7 @@ def openpose_draw(points3d, mvp, azimuth_deg, head_zoom, height: int, width: int
     for i in range(18):
         inside = ((px - cx[i]) ** 2 + (py - cy[i]) ** 2) <= 16.0
         inside = inside & mask[i]
-        canvas = jnp.where(inside[..., None], _COLORS[i], canvas)
+        canvas = jnp.where(inside[..., None], jnp.asarray(_COLORS)[i], canvas)
 
     # ellipse limbs blended 0.4 old + 0.6 color (reference: poser.py:884-898)
     for i in range(len(_LINES)):
@@ -98,7 +101,8 @@ def openpose_draw(points3d, mvp, azimuth_deg, head_zoom, height: int, width: int
         inside = (xr / semi_a) ** 2 + (yr / 4.0) ** 2 <= 1.0
         inside = inside & visible
         canvas = jnp.where(
-            inside[..., None], 0.4 * canvas + 0.6 * _COLORS[i], canvas
+            inside[..., None], 0.4 * canvas + 0.6 * jnp.asarray(_COLORS)[i],
+            canvas
         )
 
     all_vis = jnp.all(mask).astype(jnp.float32)
@@ -133,9 +137,7 @@ def _hls_palette(n: int):
                     np.float32)
 
 
-_HUMANSD_COLORS = jnp.asarray(
-    np.floor(_hls_palette(len(_HUMANSD_EDGES)) * 255.0) / 255.0
-)
+_HUMANSD_COLORS = np.floor(_hls_palette(len(_HUMANSD_EDGES)) * 255.0) / 255.0
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width",
@@ -197,7 +199,8 @@ def humansd_draw(points3d, mvp, height: int, width: int,
         dot = (((px - ax) ** 2 + (py - ay) ** 2) <= rdot * rdot) | (
             ((px - bx) ** 2 + (py - by) ** 2) <= rdot * rdot)
         inside = inside | (dot & vis)
-        canvas = jnp.where(inside[..., None], _HUMANSD_COLORS[idx], canvas)
+        canvas = jnp.where(inside[..., None],
+                           jnp.asarray(_HUMANSD_COLORS)[idx], canvas)
 
     kp = jnp.concatenate(
         [jnp.stack([xs, ys], axis=1), conf[:, None]], axis=1)[None]

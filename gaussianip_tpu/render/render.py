@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .binning import INLINE, bin_instances
+from .binning import bin_instances
 from .composite_pallas import composite_tiles, tiles_to_image
 from .composite_ref import composite_reference
 from .preprocess import gaussian_power_coeffs, project_gaussians

@@ -21,15 +21,14 @@ depth-normalized proxy the reference calls "opacity" (GaussianIP.py:225).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 from ..data.cameras import camera_from_c2w
-from ..data.sampler import CameraBatch, CameraSamplerConfig, sample_train_batch
+from ..data.sampler import CameraSamplerConfig, sample_train_batch
 from ..human.posemap import openpose_draw
 from ..model.adam import AdamHyper, AdamState, adam_step, init_adam
 from ..model.densify import (

@@ -167,7 +167,7 @@ def run_stage1(cfg, dirs, args):
         )
     else:
         from gaussianip_tpu.guidance.ipa import (
-            AHDSGuidance, GuidanceConfig, compute_image_embeds, ImageEmbeds)
+            AHDSGuidance, GuidanceConfig, compute_image_embeds)
         from gaussianip_tpu.guidance.prompts import make_prompt_embeddings
         from gaussianip_tpu.diffusion.ip_adapter import ProjPlusModel
         from gaussianip_tpu.diffusion import weights as W
