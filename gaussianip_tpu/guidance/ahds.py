@@ -161,7 +161,7 @@ def anpg_grad(
     grad = w * (delta_c + delta_d)
     if grad_clip_pixel:
         gnorm = jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-8
-        grad = jnp.clip(gnorm, a_max=grad_clip_threshold) * grad / gnorm
+        grad = jnp.clip(gnorm, max=grad_clip_threshold) * grad / gnorm
     return grad
 
 
