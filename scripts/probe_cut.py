@@ -51,7 +51,9 @@ c2w = look_at_c2w(eye, jnp.zeros((batch, 3)),
 cams = jax.vmap(lambda m: camera_from_c2w(m, jnp.float32(1.0), res, res))(c2w)
 bg = jnp.zeros(3)
 cfg = RenderConfig(backend="pallas")
-K = 3
+# K must be large enough that K*stage_time >> the tunnel RPC floor
+# (a first attempt at K=3 was swamped: floor ~100 ms that window)
+K = 25
 
 h = w = res
 tile = cfg.tile
@@ -158,13 +160,12 @@ def timeit(f, *args, reps=4):
 
 
 t0 = time.time()
-t_rpc = timeit(trivial, state)
-print(f"[{time.time()-t0:.0f}s] rpc {t_rpc*1e3:.1f} ms", flush=True)
 
 rows = [("proj", False), ("proj", True), ("binning", False),
         ("pack", False), ("pack", True), ("full", False), ("full", True)]
 for upto, grad in rows:
     f = make(upto, grad)
+    t_rpc = timeit(trivial, state)  # re-measure the floor per row: it drifts
     t = max(timeit(f, state) - t_rpc, 1e-9) / K
     print(f"[{time.time()-t0:.0f}s] upto={upto:8s} grad={int(grad)}"
-          f"  {t*1e3:7.2f} ms", flush=True)
+          f"  {t*1e3:7.2f} ms  (rpc {t_rpc*1e3:.0f})", flush=True)
