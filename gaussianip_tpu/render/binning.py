@@ -64,7 +64,7 @@ def _next_pow2(x: int) -> int:
     jax.jit,
     static_argnames=("tile", "n_tiles_x", "n_tiles_y", "d_max", "pool",
                      "chunk", "with_inv", "pad_pow2", "carry_gid",
-                     "inv_mode", "inline"),
+                     "inv_mode", "inline", "depth_key"),
 )
 def bin_instances(
     mean2d,
@@ -83,12 +83,36 @@ def bin_instances(
     carry_gid: bool = True,
     inv_mode: str = "sort",
     inline: int = INLINE,
+    depth_key: str = "rank",
 ):
+    """depth_key selects how within-tile depth order enters the sort:
+
+      * "rank": key = tile << rank_bits | depth_rank, where ranks come from
+        one stable N argsort (the original scheme);
+      * "exact2": TWO-key lexicographic sort (tile_id, depth_bits) — the
+        IEEE-754 bit pattern of a positive f32 (preprocess culls depth<=near
+        so all valid depths are positive) is order-isomorphic to its value,
+        so sorting the bitcast depths is exact. Skips the N argsort + rank
+        scatter entirely (requires carry_gid). Ordering matches "rank"
+        everywhere except EXACT f32 depth ties, where the stable sort falls
+        back to emission order (inline tier before pool tier) instead of
+        gaussian-index order — compositing-equivalent, and bit-identical
+        whenever per-tile depths are distinct;
+      * "q16": single key tile << 16 | q16(depth) with depth affinely
+        quantized to 16 bits — cheapest keys, approximate within-tile order
+        for depths closer than range/65536 (requires carry_gid).
+    """
     n = mean2d.shape[0]
     nt = n_tiles_x * n_tiles_y
     e = inline * n + pool
-    rank_bits = max(1, (n - 1).bit_length())
-    assert (nt + 1) < (1 << (31 - rank_bits)), "tile/rank bits exceed int32"
+    assert depth_key in ("rank", "exact2", "q16"), depth_key
+    if depth_key != "rank":
+        assert carry_gid, f"depth_key={depth_key} cannot recover gid from " \
+            "the sort key; carry_gid is required"
+    rank_bits = (16 if depth_key == "q16"
+                 else max(1, (n - 1).bit_length()))
+    assert depth_key == "exact2" or (nt + 1) < (1 << (31 - rank_bits)), \
+        "tile/rank bits exceed int32"
     assert pool % chunk == 0, "pool must be a multiple of chunk"
     # the packed per-gaussian table stores tmin_x, tmin_y and w in 8-bit
     # fields (tmin_x | tmin_y << 8 | w << 16, extracted with & 0xFF below);
@@ -97,7 +121,8 @@ def bin_instances(
     assert n_tiles_x <= 255 and n_tiles_y <= 255, (
         f"{n_tiles_x}x{n_tiles_y} tiles exceed the 8-bit packed-table "
         f"fields (max 255 per axis; render in crops beyond ~4080 px)")
-    sentinel_key = jnp.int32(nt << rank_bits)
+    two_key = depth_key == "exact2"
+    sentinel_key = jnp.int32(nt if two_key else (nt << rank_bits))
 
     mean2d = jax.lax.stop_gradient(mean2d)
     depth = jax.lax.stop_gradient(depth)
@@ -126,10 +151,22 @@ def bin_instances(
     count = jnp.where(valid, w * h, 0)
     count = jnp.minimum(count, d_max)
 
-    # global depth ranks (stable; invalid sink to the end)
-    order = jnp.argsort(jnp.where(valid, depth, jnp.inf), stable=True)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32))
+    # per-gaussian depth-order carrier; meaning depends on depth_key:
+    # exact global rank (one stable N argsort), 16-bit affine quantization,
+    # or the raw f32 bit pattern (two-key mode sorts it as a second key)
+    if depth_key == "rank":
+        # global depth ranks (stable; invalid sink to the end)
+        order = jnp.argsort(jnp.where(valid, depth, jnp.inf), stable=True)
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+    elif depth_key == "q16":
+        dmin = jnp.min(jnp.where(valid, depth, jnp.inf))
+        dmax = jnp.max(jnp.where(valid, depth, -jnp.inf))
+        scale = 65535.0 / jnp.maximum(dmax - dmin, 1e-12)
+        rank = jnp.clip(((depth - dmin) * scale).astype(jnp.int32), 0, 65535)
+    else:  # exact2: order-isomorphic bits of the (positive) f32 depth
+        rank = jax.lax.bitcast_convert_type(
+            depth.astype(jnp.float32), jnp.int32)
 
     # pool allocation: gaussian g draws extra_eff contiguous slots at
     # pool_ofs (exclusive cumsum); exhausted pool truncates (counted)
@@ -158,9 +195,13 @@ def bin_instances(
     tile_in = slot_tile(tmin_x[:, None], tmin_y[:, None], recip_w[:, None],
                         w_safe[:, None], d_in[None, :])
     ok_in = d_in[None, :] < jnp.minimum(count, inline)[:, None]
-    key_in = jnp.where(
-        ok_in, (tile_in << rank_bits) | rank[:, None], sentinel_key
-    ).reshape(-1)
+    if two_key:
+        key_in = jnp.where(ok_in, tile_in, sentinel_key).reshape(-1)
+        sub_in = jnp.broadcast_to(rank[:, None], (n, inline)).reshape(-1)
+    else:
+        key_in = jnp.where(
+            ok_in, (tile_in << rank_bits) | rank[:, None], sentinel_key
+        ).reshape(-1)
     gid_in = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, inline)).reshape(-1)
 
@@ -194,8 +235,12 @@ def bin_instances(
     d_pool = jnp.minimum(inline + (j - seg_start), d_max)
     tile_p = slot_tile(a & 0xFF, (a >> 8) & 0xFF,
                        1.0 / aw.astype(jnp.float32) * (1.0 + 1e-6), aw, d_pool)
-    key_pool = jnp.where(ok_pool, (tile_p << rank_bits) | rank_p,
-                         sentinel_key)
+    if two_key:
+        key_pool = jnp.where(ok_pool, tile_p, sentinel_key)
+        sub_pool = rank_p
+    else:
+        key_pool = jnp.where(ok_pool, (tile_p << rank_bits) | rank_p,
+                             sentinel_key)
 
     # ONE sort carrying (emission index, gaussian id). v5e A/B notes
     # (scripts/probe_binstages.py, 1024^2/100k):
@@ -211,20 +256,26 @@ def bin_instances(
     # a dead sort operand otherwise
     need_em = with_inv or not carry_gid
     pad = (_next_pow2(e) - e) if pad_pow2 else 0
+    if two_key:
+        subs = jnp.concatenate([sub_in, sub_pool])
     if pad:
         keys = jnp.pad(keys, (0, pad), constant_values=sentinel_key)
+        if two_key:
+            subs = jnp.pad(subs, (0, pad), constant_values=2**31 - 1)
         vals = jnp.pad(vals, (0, pad), constant_values=e)
         gid_all_p = jnp.pad(gid_all, (0, pad), constant_values=n)
     else:
         gid_all_p = gid_all
-    ops = ((keys,) + ((vals,) if need_em else ())
+    key_ops = (keys, subs) if two_key else (keys,)
+    ops = (key_ops + ((vals,) if need_em else ())
            + ((gid_all_p,) if carry_gid else ()))
-    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    sorted_ops = jax.lax.sort(ops, num_keys=len(key_ops))
     keys_c = sorted_ops[0][:e]
-    em = sorted_ops[1][:e] if need_em else None
+    em = sorted_ops[len(key_ops)][:e] if need_em else None
     gid_s = sorted_ops[-1] if carry_gid else None
 
-    tile_sorted = (keys_c >> rank_bits).astype(jnp.int32)
+    tile_sorted = (keys_c if two_key
+                   else (keys_c >> rank_bits)).astype(jnp.int32)
     live = keys_c != sentinel_key
     if carry_gid:
         gidx = jnp.where(live, gid_s[:e], n)

@@ -67,6 +67,12 @@ class RenderConfig:
     # gather + coefficient math fuse into per-plane writes with no transpose
     # op (A/B r3 pending — probe_cut.py)
     pack_mode: str = struct.field(pytree_node=False, default="t16")
+    # within-tile depth ordering carrier in the binning sort: "rank"
+    # (one stable N argsort -> packed tile|rank key), "exact2" (two-key
+    # lexicographic (tile, f32-depth-bits) sort — no argsort, exact), or
+    # "q16" (packed tile|quantized-depth key — no argsort, approximate
+    # within range/65536). See binning.bin_instances.
+    depth_key: str = struct.field(pytree_node=False, default="rank")
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
 
@@ -215,7 +221,7 @@ def render(
             d_max=cfg.d_max, pool=pool, chunk=cfg.chunk,
             with_inv=(cfg.vjp_mode == "emission"),
             inline=cfg.inline, inv_mode=cfg.inv_mode,
-            carry_gid=cfg.carry_gid,
+            carry_gid=cfg.carry_gid, depth_key=cfg.depth_key,
         )
     )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid)
 

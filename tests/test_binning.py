@@ -76,6 +76,41 @@ def test_binning_invariants(rng):
                 assert gidx[p] == g
 
 
+def test_binning_depth_key_modes(rng):
+    # exact2 (two-key lexicographic sort, no N argsort) must reproduce the
+    # rank scheme bit-for-bit when per-tile depths are distinct (random f32
+    # depths are distinct a.s.); q16 must preserve segment membership and
+    # order depths within the quantization tolerance.
+    n, w, h, tile, chunk = 300, 128, 128, 16, 128
+    ntx = nty = w // tile
+    pool = 50 * chunk
+    mean2d, radius, depth, valid = _scene(rng, n, w, h)
+    args = (jnp.asarray(mean2d), jnp.asarray(radius), jnp.asarray(depth),
+            jnp.asarray(valid))
+    kw = dict(tile=tile, n_tiles_x=ntx, n_tiles_y=nty, d_max=25, pool=pool,
+              chunk=chunk, with_inv=True)
+    ref = bin_instances(*args, depth_key="rank", **kw)
+    two = bin_instances(*args, depth_key="exact2", **kw)
+    for a, b in zip(ref, two):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    q = bin_instances(*args, depth_key="q16", **kw)
+    np.testing.assert_array_equal(np.asarray(ref.starts),
+                                  np.asarray(q.starts))
+    np.testing.assert_array_equal(np.asarray(ref.counts),
+                                  np.asarray(q.counts))
+    starts, counts = np.asarray(q.starts), np.asarray(q.counts)
+    gidx = np.asarray(q.gidx)
+    tol = (depth[valid].max() - depth[valid].min()) / 65535.0
+    for t in range(ntx * nty):
+        rows = np.arange(starts[t], starts[t] + counts[t])
+        refrows = np.arange(starts[t], starts[t] + counts[t])
+        # same membership per tile, near-sorted depths
+        assert set(gidx[rows]) == set(np.asarray(ref.gidx)[refrows])
+        d = depth[gidx[rows]]
+        assert (np.diff(d) >= -tol - 1e-6).all()
+
+
 def test_binning_pool_overflow_accounting(rng):
     # every gaussian has a 9-tile footprint -> 5 pool draws each; pool of
     # one chunk holds 128 -> 25 gaussians fully served, rest truncated
