@@ -64,7 +64,7 @@ def _next_pow2(x: int) -> int:
     jax.jit,
     static_argnames=("tile", "n_tiles_x", "n_tiles_y", "d_max", "pool",
                      "chunk", "with_inv", "pad_pow2", "carry_gid",
-                     "inv_mode", "inline", "depth_key"),
+                     "inv_mode", "inline", "depth_key", "sort_stable"),
 )
 def bin_instances(
     mean2d,
@@ -84,6 +84,7 @@ def bin_instances(
     inv_mode: str = "sort",
     inline: int = INLINE,
     depth_key: str = "rank",
+    sort_stable: bool = True,
 ):
     """depth_key selects how within-tile depth order enters the sort:
 
@@ -101,6 +102,13 @@ def bin_instances(
       * "q16": single key tile << 16 | q16(depth) with depth affinely
         quantized to 16 bits — cheapest keys, approximate within-tile order
         for depths closer than range/65536 (requires carry_gid).
+
+    sort_stable=False lets XLA drop the stability guarantee on the main
+    instance sort. Live keys are UNIQUE under "rank"/"exact2" (one instance
+    per gaussian per tile; ranks/depth-bits are per-gaussian), so the result
+    is unchanged wherever it matters — only the internal order of dead
+    (sentinel) slots and of exact-depth ties (exact2) / same-bucket ties
+    (q16) may vary, all compositing-equivalent.
     """
     n = mean2d.shape[0]
     nt = n_tiles_x * n_tiles_y
@@ -269,7 +277,8 @@ def bin_instances(
     key_ops = (keys, subs) if two_key else (keys,)
     ops = (key_ops + ((vals,) if need_em else ())
            + ((gid_all_p,) if carry_gid else ()))
-    sorted_ops = jax.lax.sort(ops, num_keys=len(key_ops))
+    sorted_ops = jax.lax.sort(ops, num_keys=len(key_ops),
+                              is_stable=sort_stable)
     keys_c = sorted_ops[0][:e]
     em = sorted_ops[len(key_ops)][:e] if need_em else None
     gid_s = sorted_ops[-1] if carry_gid else None
@@ -285,12 +294,12 @@ def bin_instances(
         # trades the third sort payload for one 450k gather
         gidx = jnp.where(live, gid_all[em], n)
 
-    tile_ids = jnp.arange(nt, dtype=jnp.int32)
-    starts = jnp.searchsorted(
-        tile_sorted, tile_ids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(
-        tile_sorted, tile_ids + 1, side="left").astype(jnp.int32)
-    counts = ends - starts
+    # one searchsorted over nt+1 boundaries: ends[t] == starts_ext[t+1]
+    bounds = jnp.searchsorted(
+        tile_sorted, jnp.arange(nt + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    starts = bounds[:nt]
+    counts = bounds[1:] - bounds[:nt]
 
     if with_inv:
         # inverse permutation of em (an exact permutation of [0, e) — every

@@ -73,6 +73,10 @@ class RenderConfig:
     # "q16" (packed tile|quantized-depth key — no argsort, approximate
     # within range/65536). See binning.bin_instances.
     depth_key: str = struct.field(pytree_node=False, default="rank")
+    # stability of the main instance sort. Live keys are unique under
+    # rank/exact2, so False is result-equivalent there (dead-slot order may
+    # vary); an unstable sort can lower cheaper in XLA
+    sort_stable: bool = struct.field(pytree_node=False, default=True)
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
 
@@ -222,6 +226,7 @@ def render(
             with_inv=(cfg.vjp_mode == "emission"),
             inline=cfg.inline, inv_mode=cfg.inv_mode,
             carry_gid=cfg.carry_gid, depth_key=cfg.depth_key,
+            sort_stable=cfg.sort_stable,
         )
     )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid)
 

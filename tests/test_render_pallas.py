@@ -83,6 +83,59 @@ def test_pack_modes_bit_equal(rng):
             err_msg=f"pack-mode grad mismatch: {f}")
 
 
+def test_sort_stable_false_equal(rng):
+    # live sort keys are unique under rank/exact2, so dropping the sort's
+    # stability guarantee must not change images or gradients (depths here
+    # are random f32 — distinct a.s.)
+    state = make_scene(rng)
+    cams = make_cameras(2, 40, 56)
+    bg = jnp.array([0.0, 0.1, 0.2])
+    base = dict(backend="pallas", interpret=True, tile=16, chunk=128,
+                d_max=16)
+    a = render(state, cams, bg, RenderConfig(**base))
+    b = render(state, cams, bg, RenderConfig(**base, sort_stable=False))
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+
+    def loss(st, ss):
+        out = render(st, cams, bg, RenderConfig(**base, sort_stable=ss))
+        return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha)
+
+    ga = jax.grad(loss, allow_int=True)(state, True)
+    gb = jax.grad(loss, allow_int=True)(state, False)
+    for f in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ga, f)), np.asarray(getattr(gb, f)),
+            err_msg=f"sort_stable grad mismatch: {f}")
+
+
+def test_tri_split2_accuracy(rng):
+    # split2 replaces the 6-pass f32 triangular cumsum matmuls with two
+    # bf16 passes on a hi+lo split (~2^-17 relative); images and gradients
+    # must stay within tight tolerance of the highest-precision path
+    state = make_scene(rng)
+    cams = make_cameras(2, 40, 56)
+    bg = jnp.array([0.0, 0.1, 0.2])
+    base = dict(backend="pallas", interpret=True, tile=16, chunk=128,
+                d_max=16)
+    a = render(state, cams, bg, RenderConfig(**base))
+    b = render(state, cams, bg, RenderConfig(**base, tri="split2"))
+    d = np.abs(np.asarray(a.rgb) - np.asarray(b.rgb))
+    assert np.quantile(d, 0.99) < 1e-4, np.quantile(d, 0.99)
+    assert d.max() < 1e-2, d.max()
+
+    def loss(st, tri):
+        out = render(st, cams, bg, RenderConfig(**base, tri=tri))
+        return jnp.mean(out.rgb ** 2) + jnp.mean(out.alpha)
+
+    ga = jax.grad(loss, allow_int=True)(state, "highest")
+    gb = jax.grad(loss, allow_int=True)(state, "split2")
+    for f in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
+        x, y = np.asarray(getattr(ga, f)), np.asarray(getattr(gb, f))
+        scale = np.abs(x).max() + 1e-8
+        assert np.abs(x - y).max() / scale < 2e-3, \
+            f"tri split2 grad deviation: {f}"
+
+
 # default tier keeps the non-square case (exercises the tile grid + padding
 # paths the square case doesn't); the square variant runs under -m slow
 @pytest.mark.parametrize(
