@@ -55,12 +55,15 @@ class RenderConfig:
     # ~1.5 ms faster at 1024^2/100k and exact (no prefix-sum cancellation)
     vjp_mode: str = struct.field(pytree_node=False, default="scatter")
     # precision of the triangular log-transmittance matmuls in the
-    # compositor ("highest" = 6-pass f32, "split2" = two bf16 passes on a hi+lo split)
-    tri: str = struct.field(pytree_node=False, default="highest")
+    # compositor ("highest" = 6-pass f32, "split2" = two bf16 passes on a
+    # hi+lo split). split2 measured ~equal accuracy (tests) and part of the
+    # 33.85->29.89 ms combo win (scripts/probe_sorttri.py, r4 TPU A/B)
+    tri: str = struct.field(pytree_node=False, default="split2")
     # forward compositor head prefetch: issue all TPB tiles' first-chunk
     # DMAs at program start (at 1024^2 the average tile is 1-2 chunks, so
-    # per-tile DMA latency dominates the loop). A/B pending (NOTES r3).
-    head_prefetch: bool = struct.field(pytree_node=False, default=False)
+    # per-tile DMA latency dominates the loop). A/B r4
+    # (scripts/probe_packab.py): 34.46 -> 33.61 ms fwd+bwd; bit-equal gated
+    head_prefetch: bool = struct.field(pytree_node=False, default=True)
     # kernel-data assembly: "t16" materializes [B, E, 16] then swapaxes to
     # [B, 16, EPAD] (one explicit relayout); "stack" writes the 16 channel
     # planes [B, E] directly into [B, 16, EPAD] via jnp.stack(axis=1) so the
@@ -71,12 +74,18 @@ class RenderConfig:
     # (one stable N argsort -> packed tile|rank key), "exact2" (two-key
     # lexicographic (tile, f32-depth-bits) sort — no argsort, exact), or
     # "q16" (packed tile|quantized-depth key — no argsort, approximate
-    # within range/65536). See binning.bin_instances.
-    depth_key: str = struct.field(pytree_node=False, default="rank")
+    # within range/65536). See binning.bin_instances. q16 is the measured
+    # default: the narrow packed key sorts fastest and the residual
+    # within-bucket order ambiguity is < range/65536 in depth
+    # (scripts/probe_binkey.py + probe_sorttri.py: rank 33.85 ->
+    # q16+unstable+split2 29.89 ms fwd+bwd at 1024^2/100k)
+    depth_key: str = struct.field(pytree_node=False, default="q16")
     # stability of the main instance sort. Live keys are unique under
     # rank/exact2, so False is result-equivalent there (dead-slot order may
-    # vary); an unstable sort can lower cheaper in XLA
-    sort_stable: bool = struct.field(pytree_node=False, default=True)
+    # vary); an unstable sort can lower cheaper in XLA. Under q16 ties
+    # (same tile, same depth bucket) compose in sort-network order —
+    # deterministic for a compiled program, but not source order
+    sort_stable: bool = struct.field(pytree_node=False, default=False)
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
 

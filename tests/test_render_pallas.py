@@ -86,13 +86,15 @@ def test_pack_modes_bit_equal(rng):
 def test_sort_stable_false_equal(rng):
     # live sort keys are unique under rank/exact2, so dropping the sort's
     # stability guarantee must not change images or gradients (depths here
-    # are random f32 — distinct a.s.)
+    # are random f32 — distinct a.s.). Pinned to depth_key="rank": under
+    # the q16 default, quantized keys can tie and stable-vs-unstable order
+    # is legitimately allowed to differ.
     state = make_scene(rng)
     cams = make_cameras(2, 40, 56)
     bg = jnp.array([0.0, 0.1, 0.2])
     base = dict(backend="pallas", interpret=True, tile=16, chunk=128,
-                d_max=16)
-    a = render(state, cams, bg, RenderConfig(**base))
+                d_max=16, depth_key="rank")
+    a = render(state, cams, bg, RenderConfig(**base, sort_stable=True))
     b = render(state, cams, bg, RenderConfig(**base, sort_stable=False))
     np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
 
@@ -179,11 +181,15 @@ def test_pallas_gradients_match_reference(rng):
         return jnp.sum((out.rgb - tgt) ** 2) + 0.1 * jnp.sum(out.depth)
 
     offset = jnp.zeros((1, state.capacity, 2))
+    # exact-order, full-precision kernel config: this test verifies the
+    # custom-VJP math itself, so the order/precision knobs (q16 depth key,
+    # split2 tri, unstable sort) are pinned to their exact settings
     g_ref = jax.grad(loss, argnums=(0, 1), allow_int=True)(
         state, offset, RenderConfig(backend="reference"))
     g_pal = jax.grad(loss, argnums=(0, 1), allow_int=True)(
         state, offset, RenderConfig(backend="pallas", interpret=True, tile=16,
-                                    chunk=128))
+                                    chunk=128, depth_key="rank",
+                                    sort_stable=True, tri="highest"))
     for name in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
         a = np.asarray(getattr(g_pal[0], name))
         b = np.asarray(getattr(g_ref[0], name))
@@ -193,3 +199,16 @@ def test_pallas_gradients_match_reference(rng):
         np.asarray(g_pal[1]), np.asarray(g_ref[1]), atol=5e-3, rtol=2e-2,
         err_msg="viewspace (mean2d offset) grad mismatch",
     )
+
+    # the shipped default config (q16 + unstable + split2) trades exact
+    # within-tile order for sort speed; its gradients must still track the
+    # reference within an order-tolerant bound
+    g_def = jax.grad(loss, argnums=(0, 1), allow_int=True)(
+        state, offset, RenderConfig(backend="pallas", interpret=True,
+                                    tile=16, chunk=128))
+    for name in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
+        a = np.asarray(getattr(g_def[0], name))
+        b = np.asarray(getattr(g_ref[0], name))
+        scale = np.abs(b).max() + 1e-8
+        assert np.abs(a - b).max() / scale < 5e-2, \
+            f"default-config grad deviation vs reference: {name}"
