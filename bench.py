@@ -56,6 +56,14 @@ def main():
     def time_left():
         return budget_s - (time.time() - t_start)
 
+    import sys
+
+    def mark(label):
+        # stderr progress stamps: the JSON contract is stdout-only, and the
+        # r3 budget overruns were undiagnosable without per-section timing
+        print(f"[bench {time.time() - t_start:6.1f}s] {label}",
+              file=sys.stderr, flush=True)
+
     from gaussianip_tpu.data.cameras import camera_from_c2w
     from gaussianip_tpu.model.gaussians import create_from_pcd
     from gaussianip_tpu.ops.camera_math import look_at_c2w
@@ -91,7 +99,9 @@ def main():
     # slice sized so the splat headline + train-step sections always get
     # their share even when this subprocess uses its whole slice (r03: the
     # 45%/234s slice starved train_step_render_512_b4_ms out of the JSON)
+    mark("unet subprocess start")
     extras.update(run_unet_bench(min(max(budget_s * 0.35, 60), 200)))
+    mark("unet subprocess done")
 
     rng = np.random.default_rng(0)
     n = 100_000
@@ -105,6 +115,7 @@ def main():
     pts = np.stack([r * np.cos(th), r * np.sin(th), z], 1).astype(np.float32)
     pts += rng.normal(0, 0.01, pts.shape).astype(np.float32)
     cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    mark("scene build")
     d2 = mean_dist2_3nn(jnp.asarray(pts), block=4096)
     state = create_from_pcd(pts, cols, n, d2)
     state = state.replace(
@@ -168,13 +179,17 @@ def main():
             ts.append(time.time() - t0)
         return min(ts)
 
+    mark("splat fwd compile+time")
     t_rpc = timeit(trivial, state)
     t_fwd = max(timeit(fwd_k, state) - t_rpc, 1e-9) / K
+    mark("splat fwd done")
     t_fb = max(timeit(fwdbwd_k, state) - t_rpc, 1e-9) / K
+    mark("splat fwd+bwd done")
 
     # measured live instance count on THIS scene (roofline inputs; ADVICE
     # r02: the old hard-coded 400k was wrong for any other scene)
     n_live = int(jax.device_get(count_live_instances(state, cams, cfg))[0])
+    mark("n_live done")
 
     # stage-1 training shape: 512^2, camera batch 4 (the hot loop)
     res2, b2 = 512, 4
@@ -207,6 +222,7 @@ def main():
             reps = 5 if time_left() > 120 else 3
             t_fb2 = max(timeit(fwdbwd2_k, state, reps=reps) - t_rpc, 1e-9)
             extras["train_step_render_512_b4_ms"] = round(t_fb2 * 1000, 2)
+            mark("train_step done")
         except Exception as e:
             extras["train_step_render_512_b4_error"] = str(e)[:80]
 

@@ -41,16 +41,23 @@ def main():
     cimg0 = jnp.zeros((1, 64, 64, 3), jnp.bfloat16)
     u_shapes = jax.eval_shape(unet.init, key, lat0, t0_, ctx0)
     c_shapes = jax.eval_shape(cn.init, key, lat0, t0_, ctx0, cimg0)
-    mk = lambda tree: jax.tree_util.tree_map(
-        lambda sd: jnp.zeros(sd.shape, sd.dtype), tree)
-    uparams = mk(u_shapes)
-    cparams = mk(c_shapes)
+
+    # ONE device dispatch for the whole zero tree: per-leaf jnp.zeros costs
+    # one tunnel RPC each (~45 s measured for the ~700 leaves, r4)
+    @jax.jit
+    def mk_all():
+        z = lambda sd: jnp.zeros(sd.shape, sd.dtype)
+        return (jax.tree_util.tree_map(z, u_shapes),
+                jax.tree_util.tree_map(z, c_shapes))
+
+    uparams, cparams = mk_all()
     jax.block_until_ready((uparams, cparams))
     print(f"param alloc: {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
-    # params must be ARGUMENTS: closing over them bakes 5GB of constants
-    # into the lowered graph, which the remote compiler cannot digest
+    # params/activations must be ARGUMENTS: closing over them bakes large
+    # constants (params ~5GB, cimg 18MB) into the lowered graph, which the
+    # remote compiler digests slowly or not at all
     @jax.jit
-    def denoise_1(uparams, cparams, lat):
+    def denoise_1(uparams, cparams, lat, ts_, ctx, cimg):
         dr, mid = cn.apply(cparams, lat, ts_, ctx, cimg)
         eps, _ = unet.apply(uparams, lat, ts_, ctx,
                             down_block_residuals=dr, mid_block_residual=mid)
@@ -70,7 +77,10 @@ def main():
         return min(ts0)
 
     t_rpc = timeit(trivial, lat)
-    t = max(timeit(denoise_1, uparams, cparams, lat) - t_rpc, 1e-9)
+    print(f"rpc floor: {t_rpc*1e3:.0f}ms at {time.time()-t0:.0f}s",
+          file=sys.stderr, flush=True)
+    t = max(timeit(denoise_1, uparams, cparams, lat, ts_, ctx, cimg) - t_rpc,
+            1e-9)
     print(json.dumps({"unet_denoise_steps_per_s": round(1.0 / t, 2),
                       "unet_denoise_ms": round(t * 1000, 2)}))
 
