@@ -91,8 +91,16 @@ def main():
                     return json.loads(line)
             return {"unet_denoise_error":
                     (r.stderr.strip().splitlines() or ["no output"])[-1][:80]}
-        except subprocess.TimeoutExpired:
-            return {"unet_denoise_error": "timeout"}
+        except subprocess.TimeoutExpired as e:
+            # e.stderr carries the partial output (the section stamps) — the
+            # whole point of the stamps is diagnosing this exact case
+            tail = ""
+            if e.stderr:
+                err = e.stderr if isinstance(e.stderr, str) else \
+                    e.stderr.decode("utf-8", "replace")
+                lines = err.strip().splitlines()
+                tail = ": " + lines[-1][:70] if lines else ""
+            return {"unet_denoise_error": "timeout" + tail}
         except Exception as e:
             return {"unet_denoise_error": str(e)[:80]}
 
@@ -118,6 +126,7 @@ def main():
     mark("scene build")
     d2 = mean_dist2_3nn(jnp.asarray(pts), block=4096)
     state = create_from_pcd(pts, cols, n, d2)
+    mark("knn+pcd done")
     state = state.replace(
         opacity=jnp.asarray(rng.uniform(-1.0, 2.5, (n, 1)).astype(np.float32))
     )
@@ -260,6 +269,9 @@ def main():
         "value": round(fps_fb, 2),
         "unit": "renders/s",
         "vs_baseline": round(fps_fb / baseline_fps, 3),
+        "baseline_note": "denominator 100 fwd+bwd FPS is a literature "
+                         "ESTIMATE for CUDA diff-gaussian-rasterization at "
+                         "1024^2/100k (reference publishes no kernel number)",
         "fwd_ms": round(t_fwd * 1000 / batch, 2),
         "fwd_bwd_ms": round(t_fb * 1000 / batch, 2),
         "hbm_traffic_gb_s": round(hbm_gbs, 1),

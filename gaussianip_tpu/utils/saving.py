@@ -127,6 +127,14 @@ class RunDirs:
         save_json(mp, data)
         return data
 
+    def manifest_get(self, key, default=None):
+        """Read one key from the run manifest (None/default if absent)."""
+        mp = os.path.join(self.root, "run.json")
+        if not os.path.exists(mp):
+            return default
+        with open(mp) as f:
+            return json.load(f).get(key, default)
+
     def snapshot_code(self, repo_dir: Optional[str] = None):
         """Record the exact code state that produced this run (the
         reference's CodeSnapshotCallback, threestudio/utils/callbacks.py:

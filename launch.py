@@ -500,6 +500,34 @@ def run_stage3(cfg, dirs, args):
     gt.info(f"stage 3 done in {time.time() - t0:.0f}s -> {final_ply}")
 
 
+def run_export(cfg, dirs, args):
+    """--export: trained .ply -> textured obj/mtl mesh (reference:
+    threestudio/models/exporters/mesh_exporter.py via `launch.py --export`)."""
+    import gaussianip_tpu as gt
+    from gaussianip_tpu.model.ply import state_from_ply
+    from gaussianip_tpu.ops.mesh_export import export_avatar_mesh
+
+    ecfg = cfg["system"].get("exporter", {}) or {}
+    ply = args.resume_from or dirs.manifest_get("final_ply") \
+        or dirs.path("save", "last.ply")
+    if not os.path.exists(ply):
+        raise FileNotFoundError(
+            f"--export needs a trained .ply; none at {ply} "
+            "(pass --resume_from <path/to/.ply> or run stage 3 first)")
+    state = state_from_ply(ply)
+    out_prefix = dirs.path("export", str(ecfg.get("save_name", "model")))
+    paths = export_avatar_mesh(
+        state, out_prefix,
+        resolution=int(ecfg.get("resolution", 128)),
+        density_thresh=float(ecfg.get("density_thresh", 1.0)),
+        texture_size=int(ecfg.get("texture_size", 1024)),
+        fmt=str(ecfg.get("fmt", "obj-mtl")),
+    )
+    dirs.manifest(export=paths)
+    gt.info(f"export done -> {paths['obj']}")
+    return paths
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="configs/exp.yaml")
@@ -537,7 +565,9 @@ def main():
 
     np.random.seed(int(cfg.get("seed", 42)))
 
-    if stage == "stage1":
+    if args.export:
+        run_export(cfg, dirs, args)
+    elif stage == "stage1":
         run_stage1(cfg, dirs, args)
     elif stage == "stage2":
         run_stage2(cfg, dirs, args)

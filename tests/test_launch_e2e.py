@@ -38,6 +38,8 @@ def tiny_cfg(tmp_path_factory):
         "system.pts_num=256", "system.capacity=1024",
         "data.eval_height=32", "data.eval_width=32",
         "data.n_test_views=2",
+        "system.exporter.resolution=48", "system.exporter.density_thresh=0.1",
+        "system.exporter.texture_size=128",
         f"system.log_path={log_path}",
     )
     return cfg, log_path
@@ -73,6 +75,12 @@ def test_launch_all_stages_sharded(tiny_cfg):
     man = dirs.manifest()
     assert man.get("stage3") == "done"
     assert os.path.exists(man["final_ply"])
+
+    # `--export`: trained ply -> textured obj/mtl (reference:
+    # threestudio/models/exporters/mesh_exporter.py via `--export`)
+    launch.run_export(cfg, dirs, _args(resume_from=None))
+    exp = dirs.manifest()["export"]
+    assert os.path.exists(exp["obj"]) and os.path.exists(exp["mtl"])
 
 
 def test_resolve_mesh_flags():
