@@ -22,13 +22,22 @@ import time
 import numpy as np
 
 
-def resolve_mesh(args):
+def resolve_mesh(args, recipe_batch: int = 0):
     """Build the 1-D 'data' mesh when more than one accelerator is visible.
 
     The reference pins training to one GPU (reference: launch.py:135-137
     `devices=[0]`); the TPU-native product path instead shards the camera /
     view batch over every chip of the slice (SURVEY.md §2.4). `--devices N`
-    caps the mesh; `--devices 1` forces single-device."""
+    caps the mesh; `--devices 1` forces single-device.
+
+    Batch-vs-mesh policy (VERDICT r3 #9): by default `_scale_batch` rounds
+    the configured camera batch UP to the mesh size (4 -> 8 on a v5e-8) —
+    2x the guidance work per step, a deliberate quality/throughput choice
+    that CHANGES the training recipe vs the reference's batch 4
+    (reference: configs/exp.yaml:41-42). `--recipe_batch` instead keeps the
+    configured batch exact and caps the mesh to its largest divisor
+    (batch 4 on a v5e-8 -> 4-device mesh), reproducing the reference
+    trajectory at reduced chip count."""
     import jax
 
     if str(args.devices) == "1":
@@ -36,6 +45,9 @@ def resolve_mesh(args):
     n = len(jax.devices())
     if str(args.devices) != "auto":
         n = min(n, int(args.devices))
+    if recipe_batch and getattr(args, "recipe_batch", False):
+        while recipe_batch % n:
+            n -= 1
     if n <= 1:
         return None
     from gaussianip_tpu.parallel.mesh import make_data_mesh
@@ -105,7 +117,8 @@ def run_stage1(cfg, dirs, args):
 
     sys_cfg = cfg["system"]
     data_cfg = cfg["data"]
-    mesh = resolve_mesh(args)
+    mesh = resolve_mesh(args,
+                        recipe_batch=int(data_cfg.get("batch_size", 4)))
     sk = build_skeleton(sys_cfg, args.stub_guidance)
 
     n_pts = int(sys_cfg.get("pts_num", 100000))
@@ -331,7 +344,8 @@ def run_stage2(cfg, dirs, args):
     from gaussianip_tpu.utils.saving import save_image
 
     sys_cfg = cfg["system"]
-    mesh = resolve_mesh(args)
+    mesh = resolve_mesh(args,
+                        recipe_batch=int(sys_cfg.get("refine_train_bs", 4)))
     data = np.load(dirs.path("before_refine.npz"))
     images = jnp.asarray(data["images"])
     control = jnp.asarray(data["control_images"])
@@ -550,6 +564,11 @@ def main():
     parser.add_argument("--devices", default="auto",
                         help="data-mesh size: auto (all visible chips), 1 "
                              "(single-device), or an explicit count")
+    parser.add_argument("--recipe_batch", action="store_true",
+                        help="keep the configured camera batch EXACT "
+                             "(reference recipe parity): cap the data mesh "
+                             "to a divisor of the batch instead of rounding "
+                             "the batch up to the mesh size")
     parser.add_argument("--gpu", default="0")  # accepted for CLI parity
     args, extras = parser.parse_known_args()
 

@@ -93,3 +93,10 @@ def test_resolve_mesh_flags():
     m8 = launch.resolve_mesh(_args(devices="auto"))
     assert launch._scale_batch(4, m8) == 8
     assert launch._scale_batch(9, m8) == 16
+    # --recipe_batch: keep batch 4 exact -> mesh capped to its largest
+    # divisor (4 of 8); batch 6 -> 6-device mesh; no flag -> unchanged
+    m4 = launch.resolve_mesh(_args(recipe_batch=True), recipe_batch=4)
+    assert m4.devices.size == 4 and launch._scale_batch(4, m4) == 4
+    m6 = launch.resolve_mesh(_args(recipe_batch=True), recipe_batch=6)
+    assert m6.devices.size == 6
+    assert launch.resolve_mesh(_args(), recipe_batch=4).devices.size == 8
