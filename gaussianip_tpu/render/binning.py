@@ -64,7 +64,8 @@ def _next_pow2(x: int) -> int:
     jax.jit,
     static_argnames=("tile", "n_tiles_x", "n_tiles_y", "d_max", "pool",
                      "chunk", "with_inv", "pad_pow2", "carry_gid",
-                     "inv_mode", "inline", "depth_key", "sort_stable"),
+                     "inv_mode", "inline", "depth_key", "sort_stable",
+                     "sort_backend", "sort_interpret"),
 )
 def bin_instances(
     mean2d,
@@ -85,6 +86,8 @@ def bin_instances(
     inline: int = INLINE,
     depth_key: str = "rank",
     sort_stable: bool = True,
+    sort_backend: str = "xla",
+    sort_interpret: bool = False,
 ):
     """depth_key selects how within-tile depth order enters the sort:
 
@@ -277,8 +280,20 @@ def bin_instances(
     key_ops = (keys, subs) if two_key else (keys,)
     ops = (key_ops + ((vals,) if need_em else ())
            + ((gid_all_p,) if carry_gid else ()))
-    sorted_ops = jax.lax.sort(ops, num_keys=len(key_ops),
-                              is_stable=sort_stable)
+    if (sort_backend == "pallas" and not two_key and carry_gid
+            and not need_em):
+        # VMEM-resident bitonic network (ops/sort_pallas.py): the q16
+        # (key, gid) production layout sorts on-chip with no HBM traffic
+        # between stages. Unstable like the sort_stable=False default;
+        # sentinel-slot payloads may permute among themselves (masked by
+        # `live` below). Falls back internally for tiny/huge sizes.
+        from ..ops.sort_pallas import sort_pairs_pallas
+
+        sorted_ops = sort_pairs_pallas(ops[0], ops[1], pad_val=n,
+                                       interpret=sort_interpret)
+    else:
+        sorted_ops = jax.lax.sort(ops, num_keys=len(key_ops),
+                                  is_stable=sort_stable)
     keys_c = sorted_ops[0][:e]
     em = sorted_ops[len(key_ops)][:e] if need_em else None
     gid_s = sorted_ops[-1] if carry_gid else None

@@ -86,6 +86,11 @@ class RenderConfig:
     # (same tile, same depth bucket) compose in sort-network order —
     # deterministic for a compiled program, but not source order
     sort_stable: bool = struct.field(pytree_node=False, default=False)
+    # main instance sort implementation: "xla" (lax.sort) or "pallas"
+    # (ops/sort_pallas.py VMEM-resident bitonic network; applies to the
+    # q16/carry_gid (keys, gid) layout, XLA otherwise). A/B on TPU before
+    # flipping (scripts/probe_binparts.py)
+    sort_backend: str = struct.field(pytree_node=False, default="xla")
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
 
@@ -235,7 +240,8 @@ def render(
             with_inv=(cfg.vjp_mode == "emission"),
             inline=cfg.inline, inv_mode=cfg.inv_mode,
             carry_gid=cfg.carry_gid, depth_key=cfg.depth_key,
-            sort_stable=cfg.sort_stable,
+            sort_stable=cfg.sort_stable, sort_backend=cfg.sort_backend,
+            sort_interpret=cfg.interpret,
         )
     )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid)
 
