@@ -22,9 +22,16 @@ def main():
     from gaussianip_tpu.diffusion.unet import (
         ControlNetModel, UNet2DConditionModel, UNetConfig)
 
-    ucfg = UNetConfig(lora_rank=128, ip_tokens=4, dtype=jnp.bfloat16)
+    # production shapes (system/pipeline.load_guidance_models): the UNet
+    # ships with the IPA LoRA FOLDED into the base kernels (lora_rank=0 at
+    # runtime, weights.fold_lora) and the ControlNet never had LoRA/IP
+    # tokens (reference installs IPA processors into the UNet only,
+    # ip_adapter_faceid.py:286-329). Earlier rounds benchmarked a CN with
+    # rank-128 LoRA + a runtime-LoRA UNet — heavier than what ships
+    ucfg = UNetConfig(lora_rank=0, ip_tokens=4, dtype=jnp.bfloat16)
     unet = UNet2DConditionModel(ucfg)
-    cn = ControlNetModel(ucfg)
+    cn = ControlNetModel(UNetConfig(lora_rank=0, ip_tokens=0,
+                                    dtype=jnp.bfloat16))
     key = jax.random.PRNGKey(0)
     lat = jnp.zeros((12, 64, 64, 4), jnp.bfloat16)
     ts_ = jnp.full((12,), 500, jnp.int32)
@@ -56,12 +63,23 @@ def main():
     # params/activations must be ARGUMENTS: closing over them bakes large
     # constants (params ~5GB, cimg 18MB) into the lowered graph, which the
     # remote compiler digests slowly or not at all
+    # K-chained steady-state (NOTES gotcha 1 — same methodology as the
+    # splat bench): carry feeds the next iteration so XLA can't CSE; the
+    # single-dispatch variant over-reported by ~13 ms of per-call arg
+    # streaming (r4: 168 ms dispatch-timed vs 155 ms chained)
+    K = 4
+
     @jax.jit
     def denoise_1(uparams, cparams, lat, ts_, ctx, cimg):
-        dr, mid = cn.apply(cparams, lat, ts_, ctx, cimg)
-        eps, _ = unet.apply(uparams, lat, ts_, ctx,
-                            down_block_residuals=dr, mid_block_residual=mid)
-        return jnp.sum(eps.astype(jnp.float32))
+        carry = jnp.float32(0.0)
+        for _ in range(K):
+            l2 = lat + (carry * 1e-12).astype(lat.dtype)
+            dr, mid = cn.apply(cparams, l2, ts_, ctx, cimg)
+            eps, _ = unet.apply(uparams, l2, ts_, ctx,
+                                down_block_residuals=dr,
+                                mid_block_residual=mid)
+            carry = jnp.sum(eps.astype(jnp.float32))
+        return carry
 
     @jax.jit
     def trivial(lat):
@@ -80,7 +98,7 @@ def main():
     print(f"rpc floor: {t_rpc*1e3:.0f}ms at {time.time()-t0:.0f}s",
           file=sys.stderr, flush=True)
     t = max(timeit(denoise_1, uparams, cparams, lat, ts_, ctx, cimg) - t_rpc,
-            1e-9)
+            1e-9) / K
     print(json.dumps({"unet_denoise_steps_per_s": round(1.0 / t, 2),
                       "unet_denoise_ms": round(t * 1000, 2)}))
 

@@ -77,6 +77,31 @@ def _lora_dense(sd, p, bias, lora=None):
     return out
 
 
+def fold_lora(params, scale: float = 1.0):
+    """Fold LoRA adapters into base kernels: W' = W + scale * A @ B.
+
+    LoRADense computes y = x @ W + scale * (x @ A) @ B with a STATIC scale
+    (the reference's IPA LoRA processors run at fixed scale throughout both
+    stages, ip_adapter_faceid.py:286-329), so folding is mathematically
+    exact for the forward AND for gradients w.r.t. the inputs (the weights
+    are frozen during guidance). The folded tree matches a lora_rank=0
+    module structure and skips 8 low-rank matmuls per attention block —
+    at rank 128 on the 320-wide level-0 blocks the adapters cost 1.6x the
+    base projection FLOPs, all of which folding removes (r4 measurement:
+    scripts/probe_unetglue.py fold variant)."""
+    if not isinstance(params, dict):
+        return params
+    if "main" in params and "lora_down" in params and "lora_up" in params:
+        main = dict(params["main"])
+        a = np.asarray(params["lora_down"]["kernel"], np.float32)
+        b = np.asarray(params["lora_up"]["kernel"], np.float32)
+        k = np.asarray(main["kernel"], np.float32)
+        main["kernel"] = (k + scale * (a @ b)).astype(
+            np.asarray(main["kernel"]).dtype)
+        return {"main": main}
+    return {k: fold_lora(v, scale) for k, v in params.items()}
+
+
 def _attention(sd, p, ip: bool = False, lora_sd: Dict | None = None,
                lora_prefix: str = ""):
     def lora_pair(name):

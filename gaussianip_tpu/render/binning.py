@@ -65,7 +65,7 @@ def _next_pow2(x: int) -> int:
     static_argnames=("tile", "n_tiles_x", "n_tiles_y", "d_max", "pool",
                      "chunk", "with_inv", "pad_pow2", "carry_gid",
                      "inv_mode", "inline", "depth_key", "sort_stable",
-                     "sort_backend", "sort_interpret"),
+                     "sort_backend", "sort_interpret", "ownership"),
 )
 def bin_instances(
     mean2d,
@@ -88,6 +88,7 @@ def bin_instances(
     sort_stable: bool = True,
     sort_backend: str = "xla",
     sort_interpret: bool = False,
+    ownership: str = "scatter",
 ):
     """depth_key selects how within-tile depth order enters the sort:
 
@@ -222,12 +223,25 @@ def bin_instances(
     # version used for seg_start/seg_end).
     j = jnp.arange(pool, dtype=jnp.int32)
     # unclipped offsets: gaussians whose segment starts beyond the pool drop
-    # out entirely (mode="drop") instead of corrupting the last slot.
-    # (A/B r3, scripts/probe_sortab.py: searchsorted-based ownership is
-    # ~40 ms SLOWER end-to-end — XLA lowers it to a gather loop)
-    marks = jnp.zeros((pool,), jnp.int32).at[pool_ofs].add(1, mode="drop")
-    pool_g = jnp.cumsum(marks) - 1  # [pool] owning gaussian (may be stale
-    #                                 for dead slots; ok_pool masks those)
+    # out entirely (scatter mode="drop" / searchsorted range) instead of
+    # corrupting the last slot. pool_g[j] = (#i: pool_ofs[i] <= j) - 1, two
+    # equivalent constructions:
+    #   "scatter": mark-scatter + cumsum. The r3 default — but r4
+    #     probe_binparts attributes ~5 ms of the 1024^2 binning to the XLA
+    #     TPU scatter lowering (the r3 probe_sortab A/B that rejected
+    #     searchsorted used the default method='scan' = a 17-step gather
+    #     loop, also slow);
+    #   "sorted": jnp.searchsorted(method='sort') rides lax.sort (the 450k
+    #     pair sort measures ~0.3 ms at this size) — queries are the
+    #     already-sorted arange so the merge-sort is nearly presorted.
+    if ownership == "sorted":
+        pool_g = jnp.searchsorted(pool_ofs, j, side="right",
+                                  method="sort").astype(jnp.int32) - 1
+    else:
+        marks = jnp.zeros((pool,), jnp.int32).at[pool_ofs].add(1,
+                                                              mode="drop")
+        pool_g = jnp.cumsum(marks) - 1  # [pool] owning gaussian (stale for
+        #                                 dead slots; ok_pool masks those)
     pg = jnp.clip(pool_g, 0, n - 1)
     # packed per-gaussian table -> ONE 4-col row gather (row gathers
     # amortize over width; separate scalar gathers pay per column)

@@ -61,9 +61,11 @@ class RenderConfig:
     tri: str = struct.field(pytree_node=False, default="split2")
     # forward compositor head prefetch: issue all TPB tiles' first-chunk
     # DMAs at program start (at 1024^2 the average tile is 1-2 chunks, so
-    # per-tile DMA latency dominates the loop). A/B r4
-    # (scripts/probe_packab.py): 34.46 -> 33.61 ms fwd+bwd; bit-equal gated
-    head_prefetch: bool = struct.field(pytree_node=False, default=True)
+    # per-tile DMA latency dominates the loop). A/B history
+    # (scripts/probe_packab.py): an early r4 reading said 34.46 -> 33.61 ms
+    # fwd+bwd for True; the fresh full A/B reverses it (hp=0 28.58 vs
+    # hp=1 29.42 ms) — default False, measured winner
+    head_prefetch: bool = struct.field(pytree_node=False, default=False)
     # kernel-data assembly: "t16" materializes [B, E, 16] then swapaxes to
     # [B, 16, EPAD] (one explicit relayout); "stack" writes the 16 channel
     # planes [B, E] directly into [B, 16, EPAD] via jnp.stack(axis=1) so the
@@ -91,6 +93,10 @@ class RenderConfig:
     # q16/carry_gid (keys, gid) layout, XLA otherwise). A/B on TPU before
     # flipping (scripts/probe_binparts.py)
     sort_backend: str = struct.field(pytree_node=False, default="xla")
+    # pool-slot ownership construction in binning: "scatter" (mark-scatter
+    # + cumsum) or "sorted" (searchsorted method='sort'). r4 probe_binparts:
+    # the scatter lowering is ~5 ms of the 1024^2 binning; A/B before flip
+    ownership: str = struct.field(pytree_node=False, default="scatter")
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
 
@@ -241,7 +247,7 @@ def render(
             inline=cfg.inline, inv_mode=cfg.inv_mode,
             carry_gid=cfg.carry_gid, depth_key=cfg.depth_key,
             sort_stable=cfg.sort_stable, sort_backend=cfg.sort_backend,
-            sort_interpret=cfg.interpret,
+            sort_interpret=cfg.interpret, ownership=cfg.ownership,
         )
     )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid)
 

@@ -56,7 +56,13 @@ def load_real_models(cfg_guidance: dict, dtype=jnp.bfloat16) -> GuidanceModels:
             f"--stub-guidance for a weight-free smoke run"
         )
 
-    ucfg = sd15_unet_config(dtype=dtype)
+    # the IPA LoRA adapters (rank 128 on every attention projection,
+    # reference ip_adapter_faceid.py:286-329) run at a STATIC scale, so
+    # they fold exactly into the base kernels at load time: the runtime
+    # UNet is lora_rank=0 and skips 8 low-rank matmuls per attention block
+    # (at rank 128 the adapters cost 1.6x the base projection FLOPs on the
+    # 320-wide level-0 blocks — the denoise hot path)
+    ucfg = sd15_unet_config(lora_rank=0, dtype=dtype)
     unet = UNet2DConditionModel(ucfg)
     base = cfg_guidance["pretrained_realistic_model_name_or_path"]
     usd = find_sd(os.path.join(base, "unet"), "diffusion_pytorch_model")
@@ -66,7 +72,7 @@ def load_real_models(cfg_guidance: dict, dtype=jnp.bfloat16) -> GuidanceModels:
         full = W.load_torch_state_dict(ipa_path)
         ipa_sd = {k: np.asarray(v) for k, v in full["ip_adapter"].items()} \
             if "ip_adapter" in full else None
-    unet_params = W.convert_unet(usd, ipa_state=ipa_sd)
+    unet_params = W.fold_lora(W.convert_unet(usd, ipa_state=ipa_sd))
 
     vcfg = VAEConfig(dtype=dtype)
     vae = AutoencoderKL(vcfg)

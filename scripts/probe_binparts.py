@@ -71,8 +71,11 @@ def project(st):
                              deg, 1.0, off, None, st.active_mask())
 
 
-def emit_keys(proj):
-    """Replicate bin_instances up to (keys, gid), q16/inline=1 path."""
+def emit_keys(proj, ownership="scatter", upto="all"):
+    """Replicate bin_instances up to (keys, gid), q16/inline=1 path.
+    upto="keyin": stop after the inline tier (isolates footprint+key cost);
+    upto="nogather": pool tier with the 4-col table gather replaced by a
+    row-0 broadcast (isolates the take_along_axis cost)."""
     mean2d, radius, depth, valid = (proj.mean2d, proj.radius_bin, proj.depth,
                                     proj.valid)
     tmin_x, tmin_y, tmax_x, tmax_y = tile_rect(mean2d, radius, tile, ntx, nty)
@@ -107,15 +110,27 @@ def emit_keys(proj):
     ok_in = count >= 1
     key_in = jnp.where(ok_in, (tile_in << 16) | rank, sentinel)
     gid_in = jnp.arange(n, dtype=jnp.int32)
+    if upto == "keyin":
+        return key_in, gid_in, sentinel
 
     j = jnp.arange(pool, dtype=jnp.int32)
-    marks = jnp.zeros((pool,), jnp.int32).at[pool_ofs].add(1, mode="drop")
-    pool_g = jnp.cumsum(marks) - 1
+    if ownership == "scatter":
+        marks = jnp.zeros((pool,), jnp.int32).at[pool_ofs].add(1,
+                                                              mode="drop")
+        pool_g = jnp.cumsum(marks) - 1
+    elif ownership == "sorted":
+        pool_g = jnp.searchsorted(pool_ofs, j, side="right",
+                                  method="sort").astype(jnp.int32) - 1
+    elif ownership == "none":
+        pool_g = j % n  # WRONG result; isolates the ownership cost
     pg = jnp.clip(pool_g, 0, n - 1)
     table = jnp.stack(
         [tmin_x | (tmin_y << 8) | (w_safe << 16), rank, pool_ofs, extra_eff],
         axis=-1)
-    tp = jnp.take_along_axis(table, pg[:, None], axis=0)
+    if upto == "nogather":
+        tp = jnp.broadcast_to(table[:1], (pool, 4))  # WRONG result
+    else:
+        tp = jnp.take_along_axis(table, pg[:, None], axis=0)
     a, rank_p, seg_start, seg_end = (tp[:, 0], tp[:, 1], tp[:, 2],
                                      tp[:, 2] + tp[:, 3])
     ok_pool = (j >= seg_start) & (j < seg_end) & (pool_g >= 0)
@@ -145,9 +160,15 @@ def make(mode):
                 for _ in range(int(mode[-1]) - 1))
             s = jax.lax.sort(ops, num_keys=1, is_stable=False)
             return sum(jnp.sum(x) for x in s).astype(jnp.float32)
-        keys, gid, sentinel = emit_keys(proj)
-        if mode == "emit":
+        own = {"emits": "sorted", "emitn": "none",
+               "sort2s": "sorted"}.get(mode, "scatter")
+        upto = {"keyin": "keyin", "nogather": "nogather"}.get(mode, "all")
+        keys, gid, sentinel = emit_keys(proj, ownership=own, upto=upto)
+        if mode in ("emit", "emits", "emitn", "keyin", "nogather"):
             return (jnp.sum(keys) + jnp.sum(gid)).astype(jnp.float32)
+        if mode == "sort2s":
+            ks, gs = jax.lax.sort((keys, gid), num_keys=1, is_stable=False)
+            return (jnp.sum(ks) + jnp.sum(gs)).astype(jnp.float32)
         if mode == "sort1":
             (ks,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
             return jnp.sum(ks).astype(jnp.float32)
@@ -171,13 +192,19 @@ def make(mode):
                                       is_stable=False)
             return (jnp.sum(ks) + jnp.sum(es) + jnp.sum(gs)).astype(
                 jnp.float32)
-        if mode == "full":
+        if mode == "psort2":
+            from gaussianip_tpu.ops.sort_pallas import sort_pairs_pallas
+            ks, gs = sort_pairs_pallas(keys, gid, pad_val=n)
+            return (jnp.sum(ks) + jnp.sum(gs)).astype(jnp.float32)
+        if mode in ("full", "fullp", "fullo"):
             b = bin_instances(
                 proj.mean2d, proj.radius_bin, proj.depth, proj.valid,
                 tile=tile, n_tiles_x=ntx, n_tiles_y=nty, d_max=cfg.d_max,
                 pool=pool, chunk=cfg.chunk, with_inv=False, inline=cfg.inline,
                 inv_mode=cfg.inv_mode, carry_gid=cfg.carry_gid,
-                depth_key=cfg.depth_key, sort_stable=cfg.sort_stable)
+                depth_key=cfg.depth_key, sort_stable=cfg.sort_stable,
+                sort_backend="pallas" if mode == "fullp" else "xla",
+                ownership="sorted" if mode == "fullo" else "scatter")
             return (jnp.sum(b.gidx) + jnp.sum(b.counts)).astype(jnp.float32)
         raise ValueError(mode)
 
@@ -208,11 +235,15 @@ def timeit(f, *args, reps=4):
 
 
 t0 = time.time()
-modes = sys.argv[1:] or ["emit", "sort1", "sort2", "sort2p", "sort3",
-                         "bounds", "full", "rawsort1", "rawsort2", "rawsort3"]
+modes = sys.argv[1:] or ["emit", "emits", "emitn", "sort2", "sort2s",
+                         "bounds", "full", "fullo", "rawsort2", "sort3"]
 for mode in modes:
-    f = make(mode)
-    t_rpc = timeit(trivial, state)
-    t = max(timeit(f, state) - t_rpc, 1e-9) / K
-    print(f"[{time.time()-t0:.0f}s] {mode:9s} {t*1000:8.2f} ms "
-          f"(rpc {t_rpc*1000:.0f})", flush=True)
+    try:
+        f = make(mode)
+        t_rpc = timeit(trivial, state)
+        t = max(timeit(f, state) - t_rpc, 1e-9) / K
+        print(f"[{time.time()-t0:.0f}s] {mode:9s} {t*1000:8.2f} ms "
+              f"(rpc {t_rpc*1000:.0f})", flush=True)
+    except Exception as exc:
+        print(f"[{time.time()-t0:.0f}s] {mode:9s} FAILED: "
+              f"{str(exc).splitlines()[0][:120]}", flush=True)

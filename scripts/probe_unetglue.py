@@ -76,8 +76,8 @@ def patch():
             return real(x, shape, method)
 
         jax.image.resize = fast2x
-    elif VARIANT == "nocn":
-        pass  # handled below (skip controlnet apply)
+    elif VARIANT in ("nocn", "lora"):
+        pass  # handled below / at config build
     elif VARIANT != "full":
         raise SystemExit(f"unknown variant {VARIANT}")
 
@@ -87,9 +87,12 @@ patch()
 from gaussianip_tpu.diffusion.unet import (ControlNetModel,
                                            UNet2DConditionModel, UNetConfig)
 
-ucfg = UNetConfig(lora_rank=128, ip_tokens=4, dtype=jnp.bfloat16)
+ucfg = UNetConfig(lora_rank=0, ip_tokens=4, dtype=jnp.bfloat16)
+if VARIANT == "lora":  # the pre-fold configuration (r4 fold_lora A/B)
+    ucfg = UNetConfig(lora_rank=128, ip_tokens=4, dtype=jnp.bfloat16)
 unet = UNet2DConditionModel(ucfg)
-cn = ControlNetModel(ucfg)
+cn = ControlNetModel(UNetConfig(lora_rank=0, ip_tokens=0,
+                                dtype=jnp.bfloat16))
 key = jax.random.PRNGKey(0)
 lat = jnp.zeros((12, 64, 64, 4), jnp.bfloat16)
 ts_ = jnp.full((12,), 500, jnp.int32)

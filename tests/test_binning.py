@@ -111,6 +111,26 @@ def test_binning_depth_key_modes(rng):
         assert (np.diff(d) >= -tol - 1e-6).all()
 
 
+def test_binning_ownership_sorted_matches_scatter(rng):
+    # pool_g[j] = (#i: pool_ofs[i] <= j) - 1 has two constructions
+    # (mark-scatter+cumsum vs searchsorted method='sort'); they must be
+    # bit-equal on every BinResult field, across depth keys and a
+    # pool-overflow scene (offsets past the pool dropped in both)
+    n, w, h, tile, chunk = 300, 128, 128, 16, 128
+    ntx = nty = w // tile
+    mean2d, radius, depth, valid = _scene(rng, n, w, h)
+    args = (jnp.asarray(mean2d), jnp.asarray(radius), jnp.asarray(depth),
+            jnp.asarray(valid))
+    for pool in (50 * chunk, 4 * chunk):  # ample + overflowing
+        kw = dict(tile=tile, n_tiles_x=ntx, n_tiles_y=nty, d_max=25,
+                  pool=pool, chunk=chunk, with_inv=True)
+        for dk in ("rank", "exact2", "q16"):
+            a = bin_instances(*args, depth_key=dk, **kw)
+            b = bin_instances(*args, depth_key=dk, ownership="sorted", **kw)
+            for fa, fb in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 def test_binning_sort_backend_pallas_matches_xla(rng):
     # the VMEM bitonic sort must reproduce lax.sort exactly on live slots:
     # under "rank" keys every live key is unique, so whole-array equality

@@ -78,3 +78,41 @@ def test_vae_weight_roundtrip():
     ):
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2),
                                       err_msg=str(p1))
+
+
+def test_fold_lora_matches_runtime_lora():
+    # fold_lora(W + A@B) on a rank-0 module must reproduce the runtime-LoRA
+    # forward exactly (static scale; load_guidance_models ships the folded
+    # tree, system/pipeline.py)
+    cfg = tiny_unet_config(ip_tokens=4, lora_rank=4, dtype=jnp.float32)
+    model = UNet2DConditionModel(cfg)
+    key = jax.random.PRNGKey(0)
+    lat = jnp.zeros((2, 8, 8, 4))
+    ctx = jnp.zeros((2, 11, 32))
+    params = model.init(key, lat, jnp.array([1, 2]), ctx)
+    # randomize lora_up (zero-init by default -> fold would be a no-op)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    rng = np.random.default_rng(3)
+    rand = [
+        jnp.asarray(rng.normal(0, 0.05, l.shape).astype(np.float32))
+        if any(getattr(k, "key", k) == "lora_up" for k in path) else l
+        for path, l in leaves
+    ]
+    params = jax.tree_util.tree_unflatten(treedef, rand)
+
+    from gaussianip_tpu.diffusion.weights import fold_lora
+
+    folded = fold_lora(
+        params["params"] if "params" in params else params)
+    if "params" in params:
+        folded = {"params": folded}
+    model0 = UNet2DConditionModel(
+        tiny_unet_config(ip_tokens=4, lora_rank=0, dtype=jnp.float32))
+
+    lat_r = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 4)).astype(np.float32))
+    ctx_r = jnp.asarray(rng.normal(0, 1, (2, 11, 32)).astype(np.float32))
+    ts = jnp.array([3, 77])
+    out_lora, _ = model.apply(params, lat_r, ts, ctx_r)
+    out_fold, _ = model0.apply(folded, lat_r, ts, ctx_r)
+    np.testing.assert_allclose(np.asarray(out_fold), np.asarray(out_lora),
+                               rtol=2e-5, atol=2e-5)
