@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.sh import eval_sh
-from ..ops.transforms import build_covariance
 
 
 class Projected(NamedTuple):
@@ -57,46 +56,74 @@ def project_gaussians(
     override_color=None,
     active_mask=None,
 ):
-    """Project gaussians into one camera. All inputs activated ([N,...])."""
-    n = xyz.shape[0]
-    ones = jnp.ones((n, 1), xyz.dtype)
-    xyz_h = jnp.concatenate([xyz, ones], axis=1)
+    """Project gaussians into one camera. All inputs activated ([N,...]).
 
-    # row-vector transforms (matrices stored transposed)
-    p_hom = xyz_h @ camera.full_proj_t  # [N, 4]
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    p_proj = p_hom[:, :3] * p_w[:, None]
-    p_view = xyz_h @ camera.world_view_t[:, :3]  # [N, 3]
-    depth = p_view[:, 2]
+    All per-gaussian linear algebra is EXPANDED to scalar formulas over [N]
+    arrays (as the CUDA preprocess does, forward.cu computeCov2D): batched
+    [N,2,3]@[N,3,3] dot_generals with 2/3-wide contractions lower onto the
+    MXU with the contraction padded to 128 — r4 probe_cut measured the
+    projection stage ~100x off the VPU roofline in that form."""
+    x_, y_, z_ = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+
+    # row-vector transforms (matrices stored transposed): expand the
+    # [N,4] @ [4,4] as 4-term scalar dots (contraction-4 matmuls pad to 128)
+    fp = camera.full_proj_t
+    p_hom3 = x_ * fp[0, 3] + y_ * fp[1, 3] + z_ * fp[2, 3] + fp[3, 3]
+    p_w = 1.0 / (p_hom3 + 1e-7)
+    p_proj = jnp.stack(
+        [(x_ * fp[0, c] + y_ * fp[1, c] + z_ * fp[2, c] + fp[3, c]) * p_w
+         for c in range(3)], -1)
+    wv = camera.world_view_t
+    pv_x = x_ * wv[0, 0] + y_ * wv[1, 0] + z_ * wv[2, 0] + wv[3, 0]
+    pv_y = x_ * wv[0, 1] + y_ * wv[1, 1] + z_ * wv[2, 1] + wv[3, 1]
+    pv_z = x_ * wv[0, 2] + y_ * wv[1, 2] + z_ * wv[2, 2] + wv[3, 2]
+    depth = pv_z
 
     in_front = depth > 0.2
 
-    # 3D covariance
-    cov3d = build_covariance(scales_act, quats, scaling_modifier)  # [N, 3, 3]
-
-    # 2D covariance via clamped perspective Jacobian
+    # 2D covariance via clamped perspective Jacobian, fully expanded:
+    # cov2d = A A^T where A = J @ R_cam @ L, L = R(q) diag(s)
     h, w = camera.height, camera.width
     tanx, tany = camera.tan_fovx, camera.tan_fovy
     focal_x = w / (2.0 * tanx)
     focal_y = h / (2.0 * tany)
-    tz = p_view[:, 2]
+    tz = pv_z
     limx, limy = 1.3 * tanx, 1.3 * tany
-    tx = jnp.clip(p_view[:, 0] / tz, -limx, limx) * tz
-    ty = jnp.clip(p_view[:, 1] / tz, -limy, limy) * tz
-    zero = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x / tz, zero, -(focal_x * tx) / (tz * tz)], -1),
-            jnp.stack([zero, focal_y / tz, -(focal_y * ty) / (tz * tz)], -1),
-        ],
-        -2,
-    )  # [N, 2, 3]
-    R_cam = camera.world_view_t[:3, :3].T  # world->cam rotation
-    M = J @ R_cam  # [N, 2, 3]
-    cov2d = M @ cov3d @ jnp.swapaxes(M, -1, -2)  # [N, 2, 2]
-    cxx = cov2d[:, 0, 0] + 0.3
-    cyy = cov2d[:, 1, 1] + 0.3
-    cxy = cov2d[:, 0, 1]
+    tx = jnp.clip(pv_x / tz, -limx, limx) * tz
+    ty = jnp.clip(pv_y / tz, -limy, limy) * tz
+
+    # rotation entries from the (normalized) quaternion
+    qn = quats / (jnp.linalg.norm(quats, axis=-1, keepdims=True) + 1e-12)
+    qw, qx, qy, qz = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    s0 = scaling_modifier * scales_act[:, 0]
+    s1 = scaling_modifier * scales_act[:, 1]
+    s2 = scaling_modifier * scales_act[:, 2]
+    # L columns (R column c scaled by s_c)
+    L = (
+        ((1 - 2 * (qy * qy + qz * qz)) * s0, 2 * (qx * qy - qw * qz) * s1,
+         2 * (qx * qz + qw * qy) * s2),
+        (2 * (qx * qy + qw * qz) * s0, (1 - 2 * (qx * qx + qz * qz)) * s1,
+         2 * (qy * qz - qw * qx) * s2),
+        (2 * (qx * qz - qw * qy) * s0, 2 * (qy * qz + qw * qx) * s1,
+         (1 - 2 * (qx * qx + qy * qy)) * s2),
+    )
+    # B = R_cam @ L with R_cam = world_view_t[:3,:3].T (scalar coefficients)
+    B = tuple(
+        tuple(wv[0, i] * L[0][c] + wv[1, i] * L[1][c] + wv[2, i] * L[2][c]
+              for c in range(3))
+        for i in range(3)
+    )
+    # A = J @ B with J = [[fx/tz, 0, -fx tx/tz^2], [0, fy/tz, -fy ty/tz^2]]
+    inv_tz = 1.0 / tz
+    jx0 = focal_x * inv_tz
+    jx2 = -(focal_x * tx) * inv_tz * inv_tz
+    jy1 = focal_y * inv_tz
+    jy2 = -(focal_y * ty) * inv_tz * inv_tz
+    A0 = tuple(jx0 * B[0][c] + jx2 * B[2][c] for c in range(3))
+    A1 = tuple(jy1 * B[1][c] + jy2 * B[2][c] for c in range(3))
+    cxx = A0[0] * A0[0] + A0[1] * A0[1] + A0[2] * A0[2] + 0.3
+    cyy = A1[0] * A1[0] + A1[1] * A1[1] + A1[2] * A1[2] + 0.3
+    cxy = A0[0] * A1[0] + A0[1] * A1[1] + A0[2] * A1[2]
 
     det = cxx * cyy - cxy * cxy
     det_ok = det != 0.0

@@ -129,6 +129,19 @@ def emit_keys(proj, ownership="scatter", upto="all"):
         axis=-1)
     if upto == "nogather":
         tp = jnp.broadcast_to(table[:1], (pool, 4))  # WRONG result
+    elif upto == "w8":  # row-width experiment: same rows, 2x bytes
+        t8 = jnp.concatenate([table, table], axis=1)
+        tp = jnp.take_along_axis(t8, pg[:, None], axis=0)[:, :4]
+    elif upto == "w2":  # packed 2-word table: same rows, half bytes
+        t2 = jnp.stack([table[:, 0] | (table[:, 3] << 24),
+                        table[:, 1] | ((table[:, 2] & 0xFFFF) << 16)], -1)
+        g2 = jnp.take_along_axis(t2, pg[:, None], axis=0)
+        # NOTE pool_ofs truncated to 16 bits -> WRONG result at this n;
+        # timing-only row
+        tp = jnp.stack([g2[:, 0] & 0xFFFFFF, g2[:, 1] & 0xFFFF,
+                        (g2[:, 1] >> 16) & 0xFFFF,
+                        ((g2[:, 1] >> 16) & 0xFFFF)
+                        + (g2[:, 0] >> 24)], -1)
     else:
         tp = jnp.take_along_axis(table, pg[:, None], axis=0)
     a, rank_p, seg_start, seg_end = (tp[:, 0], tp[:, 1], tp[:, 2],
@@ -162,9 +175,11 @@ def make(mode):
             return sum(jnp.sum(x) for x in s).astype(jnp.float32)
         own = {"emits": "sorted", "emitn": "none",
                "sort2s": "sorted"}.get(mode, "scatter")
-        upto = {"keyin": "keyin", "nogather": "nogather"}.get(mode, "all")
+        upto = {"keyin": "keyin", "nogather": "nogather",
+                "emitw8": "w8", "emitw2": "w2"}.get(mode, "all")
         keys, gid, sentinel = emit_keys(proj, ownership=own, upto=upto)
-        if mode in ("emit", "emits", "emitn", "keyin", "nogather"):
+        if mode in ("emit", "emits", "emitn", "keyin", "nogather",
+                    "emitw8", "emitw2"):
             return (jnp.sum(keys) + jnp.sum(gid)).astype(jnp.float32)
         if mode == "sort2s":
             ks, gs = jax.lax.sort((keys, gid), num_keys=1, is_stable=False)

@@ -87,7 +87,8 @@ def upto_fn(st, upto):
             m, r_, z_, v, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
             d_max=cfg.d_max, pool=pool, chunk=cfg.chunk, with_inv=False,
             inline=cfg.inline, inv_mode=cfg.inv_mode,
-            carry_gid=cfg.carry_gid)
+            carry_gid=cfg.carry_gid, depth_key=cfg.depth_key,
+            sort_stable=cfg.sort_stable, ownership=cfg.ownership)
     )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid)
     if upto == "binning":
         return (jnp.sum(binning.gidx) + jnp.sum(binning.counts)

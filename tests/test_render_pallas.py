@@ -160,8 +160,11 @@ def test_tri_split2_accuracy(rng):
     gb = jax.grad(loss, allow_int=True)(state, "split2")
     for f in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
         x, y = np.asarray(getattr(ga, f)), np.asarray(getattr(gb, f))
-        scale = np.abs(x).max() + 1e-8
-        assert np.abs(x - y).max() / scale < 2e-3, \
+        # rtol on the field's own magnitude, with an absolute floor for
+        # fields whose true grad is ~0 on this scene (rotation: ~1e-15;
+        # dividing by that turned fp-reassociation noise into failures)
+        tol = max(2e-3 * np.abs(x).max(), 1e-7)
+        assert np.abs(x - y).max() < tol, \
             f"tri split2 grad deviation: {f}"
 
 
@@ -236,6 +239,10 @@ def test_pallas_gradients_match_reference(rng):
     for name in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
         a = np.asarray(getattr(g_def[0], name))
         b = np.asarray(getattr(g_ref[0], name))
-        scale = np.abs(b).max() + 1e-8
-        assert np.abs(a - b).max() / scale < 5e-2, \
+        # rtol on the field's own magnitude with an absolute floor: fields
+        # whose true grad is ~0 on this scene (rotation for the isotropic
+        # init: ~1e-6 integration noise in BOTH backends) otherwise turn
+        # fp-reassociation differences into failures
+        tol = max(5e-2 * np.abs(b).max(), 1e-5)
+        assert np.abs(a - b).max() < tol, \
             f"default-config grad deviation vs reference: {name}"
