@@ -173,10 +173,16 @@ def make(mode):
                 for _ in range(int(mode[-1]) - 1))
             s = jax.lax.sort(ops, num_keys=1, is_stable=False)
             return sum(jnp.sum(x) for x in s).astype(jnp.float32)
+        base = mode[1:] if mode.startswith("vemit") else mode
         own = {"emits": "sorted", "emitn": "none",
-               "sort2s": "sorted"}.get(mode, "scatter")
+               "sort2s": "sorted"}.get(base, "scatter")
         upto = {"keyin": "keyin", "nogather": "nogather",
-                "emitw8": "w8", "emitw2": "w2"}.get(mode, "all")
+                "emitw8": "w8", "emitw2": "w2"}.get(base, "all")
+        if mode.startswith("vemit"):  # vmap(B=1) context, like production
+            keys, gid = jax.vmap(
+                lambda p: emit_keys(p, ownership=own, upto=upto)[:2]
+            )(jax.tree_util.tree_map(lambda x: x[None], proj))
+            return (jnp.sum(keys) + jnp.sum(gid)).astype(jnp.float32)
         keys, gid, sentinel = emit_keys(proj, ownership=own, upto=upto)
         if mode in ("emit", "emits", "emitn", "keyin", "nogather",
                     "emitw8", "emitw2"):
@@ -211,15 +217,25 @@ def make(mode):
             from gaussianip_tpu.ops.sort_pallas import sort_pairs_pallas
             ks, gs = sort_pairs_pallas(keys, gid, pad_val=n)
             return (jnp.sum(ks) + jnp.sum(gs)).astype(jnp.float32)
-        if mode in ("full", "fullp", "fullo"):
-            b = bin_instances(
-                proj.mean2d, proj.radius_bin, proj.depth, proj.valid,
-                tile=tile, n_tiles_x=ntx, n_tiles_y=nty, d_max=cfg.d_max,
-                pool=pool, chunk=cfg.chunk, with_inv=False, inline=cfg.inline,
-                inv_mode=cfg.inv_mode, carry_gid=cfg.carry_gid,
-                depth_key=cfg.depth_key, sort_stable=cfg.sort_stable,
-                sort_backend="pallas" if mode == "fullp" else "xla",
-                ownership="sorted" if mode == "fullo" else "scatter")
+        if mode in ("full", "fullp", "fullo", "vfull", "vfullo"):
+            own = "sorted" if mode in ("fullo", "vfullo") else "scatter"
+
+            def call(m, r, z, v):
+                return bin_instances(
+                    m, r, z, v,
+                    tile=tile, n_tiles_x=ntx, n_tiles_y=nty, d_max=cfg.d_max,
+                    pool=pool, chunk=cfg.chunk, with_inv=False,
+                    inline=cfg.inline, inv_mode=cfg.inv_mode,
+                    carry_gid=cfg.carry_gid, depth_key=cfg.depth_key,
+                    sort_stable=cfg.sort_stable,
+                    sort_backend="pallas" if mode == "fullp" else "xla",
+                    ownership=own)
+
+            if mode.startswith("v"):  # production context: vmap over B=1
+                b = jax.vmap(call)(proj.mean2d[None], proj.radius_bin[None],
+                                   proj.depth[None], proj.valid[None])
+            else:
+                b = call(proj.mean2d, proj.radius_bin, proj.depth, proj.valid)
             return (jnp.sum(b.gidx) + jnp.sum(b.counts)).astype(jnp.float32)
         raise ValueError(mode)
 
