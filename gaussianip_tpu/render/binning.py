@@ -65,13 +65,15 @@ def _next_pow2(x: int) -> int:
     static_argnames=("tile", "n_tiles_x", "n_tiles_y", "d_max", "pool",
                      "chunk", "with_inv", "pad_pow2", "carry_gid",
                      "inv_mode", "inline", "depth_key", "sort_stable",
-                     "sort_backend", "sort_interpret", "ownership"),
+                     "sort_backend", "sort_interpret", "ownership",
+                     "tile_cull"),
 )
 def bin_instances(
     mean2d,
     radius,
     depth,
     valid,
+    radius_cull=None,
     *,
     tile: int,
     n_tiles_x: int,
@@ -89,6 +91,7 @@ def bin_instances(
     sort_backend: str = "xla",
     sort_interpret: bool = False,
     ownership: str = "scatter",
+    tile_cull: bool = True,
 ):
     """depth_key selects how within-tile depth order enters the sort:
 
@@ -113,6 +116,17 @@ def bin_instances(
     is unchanged wherever it matters — only the internal order of dead
     (sentinel) slots and of exact-depth ties (exact2) / same-bucket ties
     (q16) may vary, all compositing-equivalent.
+
+    tile_cull=True additionally drops (gaussian, tile) instances whose
+    circle of `radius_cull` (defaults to `radius`) around mean2d misses the
+    tile's pixel rect — a refinement of the CUDA bbox test that is EXACTLY
+    output-preserving when radius_cull is preprocess.py's UNCAPPED
+    alpha>=1/255 radius: q(p) >= |p - mean|^2 / lam_max(cov) means every
+    pixel of a culled tile has alpha below the 1/255 gate the compositor
+    applies anyway. Corner tiles of the bounding box are the usual casualty
+    (box vs circle: up to ~21% of emitted instances at large footprints).
+    NOTE radius_cull must be >= the alpha threshold radius; the bbox radius
+    (3-sigma-capped) is only a valid stand-in when opacity <= ~0.32.
     """
     n = mean2d.shape[0]
     nt = n_tiles_x * n_tiles_y
@@ -135,6 +149,8 @@ def bin_instances(
         f"fields (max 255 per axis; render in crops beyond ~4080 px)")
     two_key = depth_key == "exact2"
     sentinel_key = jnp.int32(nt if two_key else (nt << rank_bits))
+    if radius_cull is None:
+        radius_cull = radius
 
     mean2d = jax.lax.stop_gradient(mean2d)
     depth = jax.lax.stop_gradient(depth)
@@ -192,21 +208,34 @@ def bin_instances(
 
     w_safe = jnp.maximum(w, 1)
 
-    def slot_tile(g_tmin_x, g_tmin_y, g_recip_w, g_w, d):
+    def slot_txy(g_tmin_x, g_tmin_y, g_recip_w, g_w, d):
         # d // w and d % w through f32 reciprocals: the VPU has no integer
         # divide, and vector-divisor int division expands to a slow loop.
         # Exact for d < 2^12, w < 2^8 (quotient error << 1/w)
         dy = (d.astype(jnp.float32) * g_recip_w).astype(jnp.int32)
         dx = d - dy * g_w
-        return (g_tmin_y + dy) * n_tiles_x + (g_tmin_x + dx)
+        return g_tmin_x + dx, g_tmin_y + dy
+
+    def circle_ok(tx, ty, mx, my, r2):
+        # circle(mean2d, radius) vs tile pixel-rect [t*tile, t*tile+tile-1]
+        lo_x = (tx * tile).astype(jnp.float32)
+        lo_y = (ty * tile).astype(jnp.float32)
+        ddx = mx - jnp.clip(mx, lo_x, lo_x + (tile - 1))
+        ddy = my - jnp.clip(my, lo_y, lo_y + (tile - 1))
+        return ddx * ddx + ddy * ddy <= r2
 
     recip_w = 1.0 / w_safe.astype(jnp.float32) * (1.0 + 1e-6)
 
     # tier 1: inline slots, [N, INLINE] broadcast (no gathers)
     d_in = jnp.arange(inline, dtype=jnp.int32)
-    tile_in = slot_tile(tmin_x[:, None], tmin_y[:, None], recip_w[:, None],
-                        w_safe[:, None], d_in[None, :])
+    tx_in, ty_in = slot_txy(tmin_x[:, None], tmin_y[:, None],
+                            recip_w[:, None], w_safe[:, None], d_in[None, :])
+    tile_in = ty_in * n_tiles_x + tx_in
     ok_in = d_in[None, :] < jnp.minimum(count, inline)[:, None]
+    if tile_cull:
+        rad_f = radius_cull.astype(jnp.float32)
+        ok_in = ok_in & circle_ok(tx_in, ty_in, mean2d[:, 0:1],
+                                  mean2d[:, 1:2], (rad_f * rad_f)[:, None])
     if two_key:
         key_in = jnp.where(ok_in, tile_in, sentinel_key).reshape(-1)
         sub_in = jnp.broadcast_to(rank[:, None], (n, inline)).reshape(-1)
@@ -243,23 +272,45 @@ def bin_instances(
         pool_g = jnp.cumsum(marks) - 1  # [pool] owning gaussian (stale for
         #                                 dead slots; ok_pool masks those)
     pg = jnp.clip(pool_g, 0, n - 1)
-    # packed per-gaussian table -> ONE 4-col row gather (row gathers
-    # amortize over width; separate scalar gathers pay per column)
-    table = jnp.stack(
-        [tmin_x | (tmin_y << 8) | (w_safe << 16), rank, pool_ofs, extra_eff],
-        axis=-1)  # [N, 4]
+    # packed per-gaussian table -> ONE row gather (row gathers amortize
+    # over width; separate scalar gathers pay per column). Segments TILE
+    # the pool exactly (pool_ofs is the cumsum of extra), so a slot is live
+    # iff j < total draws — no per-slot segment-end column needed; the
+    # radius rides packed0's top byte (capped at 255 = cull disabled for
+    # that gaussian, conservative) and mean2d rides as bitcast f32 when
+    # tile_cull needs it.
+    rad8 = jnp.minimum(radius_cull, 255)
+    packed0 = tmin_x | (tmin_y << 8) | (w_safe << 16) | (rad8 << 24)
+    cols = [packed0, rank, pool_ofs]
+    if tile_cull:
+        cols += [
+            jax.lax.bitcast_convert_type(mean2d[:, 0], jnp.int32),
+            jax.lax.bitcast_convert_type(mean2d[:, 1], jnp.int32),
+        ]
+    table = jnp.stack(cols, axis=-1)  # [N, 3 or 5]
     tp = jnp.take_along_axis(table, pg[:, None], axis=0)
     a = tp[:, 0]
     rank_p = tp[:, 1]
     seg_start = tp[:, 2]
-    seg_end = tp[:, 2] + tp[:, 3]
-    ok_pool = (j >= seg_start) & (j < seg_end) & (pool_g >= 0)
+    s_total = jnp.minimum(pool_ofs[n - 1] + extra[n - 1], pool)
+    ok_pool = j < s_total
     aw = (a >> 16) & 0xFF
     # clamp: dead slots far past their segment would overflow the f32
     # division path (ok_pool masks them anyway)
     d_pool = jnp.minimum(inline + (j - seg_start), d_max)
-    tile_p = slot_tile(a & 0xFF, (a >> 8) & 0xFF,
-                       1.0 / aw.astype(jnp.float32) * (1.0 + 1e-6), aw, d_pool)
+    tx_p, ty_p = slot_txy(a & 0xFF, (a >> 8) & 0xFF,
+                          1.0 / aw.astype(jnp.float32) * (1.0 + 1e-6), aw,
+                          d_pool)
+    tile_p = ty_p * n_tiles_x + tx_p
+    if tile_cull:
+        radp = (a >> 24) & 0xFF
+        rpf = radp.astype(jnp.float32)
+        ok_pool = ok_pool & (
+            (radp >= 255)
+            | circle_ok(tx_p, ty_p,
+                        jax.lax.bitcast_convert_type(tp[:, 3], jnp.float32),
+                        jax.lax.bitcast_convert_type(tp[:, 4], jnp.float32),
+                        rpf * rpf))
     if two_key:
         key_pool = jnp.where(ok_pool, tile_p, sentinel_key)
         sub_pool = rank_p

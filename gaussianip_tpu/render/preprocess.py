@@ -37,6 +37,11 @@ class Projected(NamedTuple):
     #   the compositor drops alpha < 1/255 anyway, so shrinking the footprint
     #   to min(3, sqrt(2 ln(255 op))) sigma is EXACT (the CUDA kernel uses a
     #   fixed 3 sigma and then discards those same pixels in-kernel)
+    radius_cull: jnp.ndarray  # [N] int32 UNCAPPED alpha>=1/255 radius
+    #   (sqrt(q_max) sigma, no 3-sigma clip) for binning's circle-vs-tile
+    #   cull: bbox CORNER pixels can sit beyond 3 sigma yet inside sqrt(q_max)
+    #   sigma when opacity > e^4.4/255 ~ 0.32, so culling with radius_bin
+    #   would drop visible contributions; this radius never does
 
 
 def ndc2pix(v, size):
@@ -138,6 +143,7 @@ def project_gaussians(
     q_max = 2.0 * jnp.log(jnp.maximum(opacity_act * 255.0, 1e-12)) + 0.2
     sig_eff = jnp.sqrt(jnp.clip(q_max, 0.0, 9.0))
     radius_bin_f = jnp.ceil(sig_eff * jnp.sqrt(lam1))
+    radius_cull_f = jnp.ceil(jnp.sqrt(jnp.maximum(q_max, 0.0) * lam1))
 
     ndc_xy = p_proj[:, :2]
     if mean2d_offset_ndc is not None:
@@ -153,6 +159,7 @@ def project_gaussians(
     valid = valid & (radius > 0)
     radius_bin = jnp.where(valid, radius_bin_f, 0.0).astype(jnp.int32)
     valid = valid & (radius_bin > 0)
+    radius_cull = jnp.where(valid, radius_cull_f, 0.0).astype(jnp.int32)
 
     # colors: SH eval toward the camera (reference clamps sh2rgb + 0.5 at 0)
     if override_color is not None:
@@ -173,6 +180,7 @@ def project_gaussians(
         radius=radius,
         valid=valid,
         radius_bin=radius_bin,
+        radius_cull=radius_cull,
     )
 
 

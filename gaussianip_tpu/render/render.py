@@ -97,6 +97,11 @@ class RenderConfig:
     # + cumsum) or "sorted" (searchsorted method='sort'). r4 probe_binparts:
     # the scatter lowering is ~5 ms of the 1024^2 binning; A/B before flip
     ownership: str = struct.field(pytree_node=False, default="scatter")
+    # circle-vs-tile-rect instance culling in binning: drops bbox corner
+    # tiles the opacity-tightened radius provably cannot touch (alpha <
+    # 1/255 everywhere in the tile — the compositor zeroes those pixels
+    # anyway, so output is EXACTLY preserved; see binning.bin_instances)
+    tile_cull: bool = struct.field(pytree_node=False, default=True)
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
 
@@ -240,16 +245,18 @@ def render(
     epad = (-(-(e + cfg.chunk) // cfg.chunk)) * cfg.chunk + cfg.chunk
 
     binning = jax.vmap(
-        lambda m, r, z, v: bin_instances(
-            m, r, z, v, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
+        lambda m, r, z, v, rc: bin_instances(
+            m, r, z, v, rc, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
             d_max=cfg.d_max, pool=pool, chunk=cfg.chunk,
             with_inv=(cfg.vjp_mode == "emission"),
             inline=cfg.inline, inv_mode=cfg.inv_mode,
             carry_gid=cfg.carry_gid, depth_key=cfg.depth_key,
             sort_stable=cfg.sort_stable, sort_backend=cfg.sort_backend,
             sort_interpret=cfg.interpret, ownership=cfg.ownership,
+            tile_cull=cfg.tile_cull,
         )
-    )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid)
+    )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid,
+      proj.radius_cull)
 
     # ONE wide packed gather (TPU gathers amortize over row width): pack the
     # 10 per-gaussian attributes, gather once by instance index, then build
@@ -352,11 +359,13 @@ def count_live_instances(
     pool = cfg.pool or _auto_pool(n, cfg.chunk, h, w, cfg.inline,
                                   cfg.tile, cfg.d_max)
     binning = jax.vmap(
-        lambda m, r, z, v: bin_instances(
-            m, r, z, v, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
+        lambda m, r, z, v, rc: bin_instances(
+            m, r, z, v, rc, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
             d_max=cfg.d_max, pool=pool, chunk=cfg.chunk, inline=cfg.inline,
+            tile_cull=cfg.tile_cull,
         )
-    )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid)
+    )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid,
+      proj.radius_cull)
     return jnp.sum(binning.counts, axis=1)
 
 

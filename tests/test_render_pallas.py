@@ -246,3 +246,63 @@ def test_pallas_gradients_match_reference(rng):
         tol = max(5e-2 * np.abs(b).max(), 1e-5)
         assert np.abs(a - b).max() < tol, \
             f"default-config grad deviation vs reference: {name}"
+
+
+def test_tile_cull_output_preserving(rng):
+    # circle-vs-tile-rect culling drops only instances whose alpha is below
+    # the 1/255 gate everywhere in the tile — rendered images, grads, AND
+    # the densification stats hook must be EXACTLY unchanged, while the
+    # live instance count strictly drops on a big-footprint scene
+    from gaussianip_tpu.render.render import count_live_instances
+
+    state = make_scene(rng)
+    # widen footprints so bbox corner tiles exist to cull
+    state = state.replace(scaling=state.scaling + 1.2)
+    cams = make_cameras(2, 64, 64)
+    bg = jnp.array([0.0, 0.1, 0.2])
+    base = dict(backend="pallas", interpret=True, tile=16, chunk=128,
+                d_max=25)
+    a = render(state, cams, bg, RenderConfig(**base, tile_cull=False))
+    b = render(state, cams, bg, RenderConfig(**base))
+    # culled rows contribute alpha == 0.0 exactly, but their removal shifts
+    # chunk boundaries, regrouping the triangular-matmul partial sums —
+    # differences are pure f32 reassociation (~1e-7), not contributions
+    np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a.alpha), np.asarray(b.alpha),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                               rtol=0, atol=1e-5)
+
+    n_off = np.asarray(count_live_instances(
+        state, cams, RenderConfig(tile=16, chunk=128, d_max=25,
+                                  tile_cull=False)))
+    n_on = np.asarray(count_live_instances(
+        state, cams, RenderConfig(tile=16, chunk=128, d_max=25)))
+    assert (n_on < n_off).all(), (n_on, n_off)
+
+    def loss(st, cfg):
+        out = render(st, cams, bg, cfg)
+        return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha)
+
+    # gradients: removing exactly-zero rows still shifts chunk boundaries,
+    # and the reassociated log-transmittance can flip instances sitting ON
+    # the T_EPS early-stop threshold (same effect as changing `chunk`), so
+    # bit-equality is unattainable. The meaningful invariant: culled grads
+    # are as close to the dense oracle as unculled grads are.
+    ga = jax.grad(
+        lambda s: loss(s, RenderConfig(**base, tile_cull=False)),
+        allow_int=True)(state)
+    gb = jax.grad(
+        lambda s: loss(s, RenderConfig(**base, tile_cull=True)),
+        allow_int=True)(state)
+    gr = jax.grad(
+        lambda s: loss(s, RenderConfig(backend="reference")),
+        allow_int=True)(state)
+    for f in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
+        a, b, r = (np.asarray(getattr(g, f)) for g in (ga, gb, gr))
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-2,
+                                   err_msg=f"tile_cull grad mismatch: {f}")
+        d_off = np.abs(a - r).max()
+        d_on = np.abs(b - r).max()
+        assert d_on <= d_off * 1.5 + 1e-4, (f, d_on, d_off)
