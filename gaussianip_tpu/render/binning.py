@@ -272,22 +272,45 @@ def bin_instances(
         pool_g = jnp.cumsum(marks) - 1  # [pool] owning gaussian (stale for
         #                                 dead slots; ok_pool masks those)
     pg = jnp.clip(pool_g, 0, n - 1)
-    # packed per-gaussian table -> ONE row gather (row gathers amortize
-    # over width; separate scalar gathers pay per column). Segments TILE
-    # the pool exactly (pool_ofs is the cumsum of extra), so a slot is live
-    # iff j < total draws — no per-slot segment-end column needed; the
-    # radius rides packed0's top byte (capped at 255 = cull disabled for
-    # that gaussian, conservative) and mean2d rides as bitcast f32 when
-    # tile_cull needs it.
+    # packed per-gaussian table -> ONE row gather. TPU gathers cost roughly
+    # per ELEMENT (r4 probe_binparts: the old 4-col gather was ~2.2 ms of
+    # the 1024^2 binning), so everything is squeezed into 3 int32 columns:
+    #   col0: tmin_x | tmin_y<<8 | w<<16 | rad8<<24  (rad8 = cull radius
+    #         capped at 255; 255 disables the cull for that gaussian —
+    #         conservative: skipping a cull never drops a contribution)
+    #   col1: rank | fx8<<16 | fy8<<24  (q16 depth carrier is 16 bits; the
+    #         mean2d position rides the top 16 as 2-px-quantized offsets
+    #         from the tmin corner — cull slack +1.5 px absorbs the
+    #         quantization, again conservative)
+    #   col2: pool_ofs (segment start). Segments TILE the pool exactly
+    #         (pool_ofs is the cumsum of extra), so a slot is live iff
+    #         j < total draws — no per-slot segment-end column needed.
     rad8 = jnp.minimum(radius_cull, 255)
     packed0 = tmin_x | (tmin_y << 8) | (w_safe << 16) | (rad8 << 24)
-    cols = [packed0, rank, pool_ofs]
+    # mean2d packs into col1's top 16 bits only when the depth carrier fits
+    # the low 16 (q16 always; rank iff n <= 65536); exact2 carries full f32
+    # depth bits, so the cull mean rides two extra (bitcast f32) columns
+    pack_mean = tile_cull and (
+        depth_key == "q16"
+        or (depth_key == "rank" and n <= (1 << 16)))
+    col1 = rank
     if tile_cull:
-        cols += [
-            jax.lax.bitcast_convert_type(mean2d[:, 0], jnp.int32),
-            jax.lax.bitcast_convert_type(mean2d[:, 1], jnp.int32),
-        ]
-    table = jnp.stack(cols, axis=-1)  # [N, 3 or 5]
+        # 2-px ROUNDED quantization in EVERY mode (error <= 1 px per axis,
+        # <= 1.42 px diagonal — inside the +1.5 px cull slack, so culling
+        # stays conservative; identical quantization keeps rank/exact2/q16
+        # culling decisions bit-equal across depth_key modes). Clipping at
+        # 0 only moves an offscreen mean CLOSER to every tile (also
+        # conservative), and 255 never binds while rad8 < 255.
+        fx8 = jnp.clip(((mean2d[:, 0] - (tmin_x * tile).astype(jnp.float32))
+                        * 0.5 + 0.5).astype(jnp.int32), 0, 255)
+        fy8 = jnp.clip(((mean2d[:, 1] - (tmin_y * tile).astype(jnp.float32))
+                        * 0.5 + 0.5).astype(jnp.int32), 0, 255)
+    if pack_mean:
+        col1 = rank | (fx8 << 16) | (fy8 << 24)
+    cols = [packed0, col1, pool_ofs]
+    if tile_cull and not pack_mean:
+        cols += [fx8 | (fy8 << 8)]
+    table = jnp.stack(cols, axis=-1)  # [N, 3 or 4]
     tp = jnp.take_along_axis(table, pg[:, None], axis=0)
     a = tp[:, 0]
     rank_p = tp[:, 1]
@@ -304,13 +327,18 @@ def bin_instances(
     tile_p = ty_p * n_tiles_x + tx_p
     if tile_cull:
         radp = (a >> 24) & 0xFF
-        rpf = radp.astype(jnp.float32)
+        rpf = radp.astype(jnp.float32) + 1.5  # quantization slack
+        if pack_mean:
+            fx_p = (rank_p >> 16) & 0xFF
+            fy_p = (rank_p >> 24) & 0xFF
+            rank_p = rank_p & 0xFFFF
+        else:
+            fx_p = tp[:, 3] & 0xFF
+            fy_p = (tp[:, 3] >> 8) & 0xFF
+        mx_p = ((a & 0xFF) * tile + fx_p * 2).astype(jnp.float32)
+        my_p = (((a >> 8) & 0xFF) * tile + fy_p * 2).astype(jnp.float32)
         ok_pool = ok_pool & (
-            (radp >= 255)
-            | circle_ok(tx_p, ty_p,
-                        jax.lax.bitcast_convert_type(tp[:, 3], jnp.float32),
-                        jax.lax.bitcast_convert_type(tp[:, 4], jnp.float32),
-                        rpf * rpf))
+            (radp >= 255) | circle_ok(tx_p, ty_p, mx_p, my_p, rpf * rpf))
     if two_key:
         key_pool = jnp.where(ok_pool, tile_p, sentinel_key)
         sub_pool = rank_p

@@ -265,14 +265,16 @@ def test_tile_cull_output_preserving(rng):
     a = render(state, cams, bg, RenderConfig(**base, tile_cull=False))
     b = render(state, cams, bg, RenderConfig(**base))
     # culled rows contribute alpha == 0.0 exactly, but their removal shifts
-    # chunk boundaries, regrouping the triangular-matmul partial sums —
-    # differences are pure f32 reassociation (~1e-7), not contributions
+    # chunk boundaries, regrouping the triangular-matmul partial sums. The
+    # reassociated log-transmittance (~1e-7) can flip instances sitting ON
+    # the T_EPS=1e-4 early-stop threshold, so differences are bounded by
+    # T_EPS-scale contributions (w <= 1e-4 * alpha), not by f32 eps
     np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
-                               rtol=0, atol=2e-6)
+                               rtol=0, atol=5e-5)
     np.testing.assert_allclose(np.asarray(a.alpha), np.asarray(b.alpha),
-                               rtol=0, atol=2e-6)
+                               rtol=0, atol=5e-5)
     np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
-                               rtol=0, atol=1e-5)
+                               rtol=0, atol=2e-4)
 
     n_off = np.asarray(count_live_instances(
         state, cams, RenderConfig(tile=16, chunk=128, d_max=25,
