@@ -244,9 +244,15 @@ def render(
     e = cfg.inline * n + pool
     epad = (-(-(e + cfg.chunk) // cfg.chunk)) * cfg.chunk + cfg.chunk
 
-    binning = jax.vmap(
-        lambda m, r, z, v, rc: bin_instances(
-            m, r, z, v, rc, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
+    # UNROLLED over the (static, small) camera batch instead of vmap:
+    # batched lax.sort / searchsorted / scatter lower onto much slower TPU
+    # paths — vmap(B=1) alone DOUBLED bin_instances (4.0 -> 8.9 ms at
+    # 1024^2/100k, scripts/probe_binparts.py full vs vfull, r4)
+    per_cam = [
+        bin_instances(
+            proj.mean2d[i], proj.radius_bin[i], proj.depth[i],
+            proj.valid[i], proj.radius_cull[i],
+            tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
             d_max=cfg.d_max, pool=pool, chunk=cfg.chunk,
             with_inv=(cfg.vjp_mode == "emission"),
             inline=cfg.inline, inv_mode=cfg.inv_mode,
@@ -255,8 +261,10 @@ def render(
             sort_interpret=cfg.interpret, ownership=cfg.ownership,
             tile_cull=cfg.tile_cull,
         )
-    )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid,
-      proj.radius_cull)
+        for i in range(b)
+    ]
+    binning = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *per_cam)
 
     # ONE wide packed gather (TPU gathers amortize over row width): pack the
     # 10 per-gaussian attributes, gather once by instance index, then build
@@ -358,14 +366,18 @@ def count_live_instances(
     ntx, nty = -(-w // tile), -(-h // tile)
     pool = cfg.pool or _auto_pool(n, cfg.chunk, h, w, cfg.inline,
                                   cfg.tile, cfg.d_max)
-    binning = jax.vmap(
-        lambda m, r, z, v, rc: bin_instances(
-            m, r, z, v, rc, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
+    per_cam = [
+        bin_instances(
+            proj.mean2d[i], proj.radius_bin[i], proj.depth[i],
+            proj.valid[i], proj.radius_cull[i],
+            tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
             d_max=cfg.d_max, pool=pool, chunk=cfg.chunk, inline=cfg.inline,
             tile_cull=cfg.tile_cull,
         )
-    )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid,
-      proj.radius_cull)
+        for i in range(b)
+    ]
+    binning = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *per_cam)
     return jnp.sum(binning.counts, axis=1)
 
 
