@@ -281,7 +281,12 @@ def render(
     )  # [B, N, 10]
     if cfg.vjp_mode == "scatter":
         gidx_safe = jnp.minimum(binning.gidx, n - 1)
-        inst = jnp.take_along_axis(packed, gidx_safe[..., None], axis=1)
+        # unrolled per camera (like the binning above): the batched gather
+        # AND its scatter-add VJP lower faster without the batch dim
+        inst = jnp.stack([
+            jnp.take_along_axis(packed[i], gidx_safe[i][:, None], axis=0)
+            for i in range(b)
+        ])
         inst = jnp.where((binning.gidx < n)[..., None], inst, 0.0)
     else:
         inst = _gather_rows(packed, binning.gidx, n, cfg.inline,

@@ -82,14 +82,20 @@ def upto_fn(st, upto):
         return (jnp.sum(proj.mean2d) + jnp.sum(proj.conic)
                 + jnp.sum(proj.color) + jnp.sum(proj.depth)
                 + jnp.sum(proj.radius_bin))
-    binning = jax.vmap(
-        lambda m, r_, z_, v: bin_instances(
-            m, r_, z_, v, tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
+    per_cam = [
+        bin_instances(
+            proj.mean2d[i], proj.radius_bin[i], proj.depth[i],
+            proj.valid[i], proj.radius_cull[i],
+            tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
             d_max=cfg.d_max, pool=pool, chunk=cfg.chunk, with_inv=False,
             inline=cfg.inline, inv_mode=cfg.inv_mode,
             carry_gid=cfg.carry_gid, depth_key=cfg.depth_key,
-            sort_stable=cfg.sort_stable, ownership=cfg.ownership)
-    )(proj.mean2d, proj.radius_bin, proj.depth, proj.valid)
+            sort_stable=cfg.sort_stable, ownership=cfg.ownership,
+            tile_cull=cfg.tile_cull)
+        for i in range(batch)
+    ]
+    binning = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *per_cam)
     if upto == "binning":
         return (jnp.sum(binning.gidx) + jnp.sum(binning.counts)
                 + jnp.sum(proj.mean2d)).astype(jnp.float32)
@@ -98,7 +104,10 @@ def upto_fn(st, upto):
          (proj.opacity * jnp.ones((batch, n)))[..., None], proj.color,
          proj.depth[..., None]], axis=-1)
     gidx_safe = jnp.minimum(binning.gidx, n - 1)
-    inst = jnp.take_along_axis(packed, gidx_safe[..., None], axis=1)
+    inst = jnp.stack([
+        jnp.take_along_axis(packed[i], gidx_safe[i][:, None], axis=0)
+        for i in range(batch)
+    ])
     inst = jnp.where((binning.gidx < n)[..., None], inst, 0.0)
     rv = (binning.gidx < n)[..., None]
     tile_safe = jnp.minimum(binning.tile_of, ntx * nty - 1)
