@@ -144,15 +144,17 @@ def _auto_pool(n: int, chunk: int, h: int, w: int, inline: int = 1,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _gather_rows(packed, gidx, n: int, inline: int, inv_em, pool_ofs,
                  pool_len):
-    """inst[b, i] = packed[b, gidx[b, i]] with dead rows zeroed.
+    """inst[i] = packed[gidx[i]] with dead rows zeroed (UNBATCHED — the
+    caller unrolls over the camera batch; batched gathers/scatters lower
+    onto slower TPU paths, see the binning unroll above).
 
     Backward reduces per-instance gradients to per-gaussian gradients via
     the emission layout (see binning.py): gather by inv_em, reshape-sum the
     inline tier, cumsum-difference the contiguous pool segments. No
     scatter-add (XLA TPU scatters are ~4x slower than gathers)."""
     gidx_safe = jnp.minimum(gidx, n - 1)
-    inst = jnp.take_along_axis(packed, gidx_safe[..., None], axis=1)
-    return jnp.where((gidx < n)[..., None], inst, 0.0)
+    inst = jnp.take_along_axis(packed, gidx_safe[:, None], axis=0)
+    return jnp.where((gidx < n)[:, None], inst, 0.0)
 
 
 def _gather_rows_fwd(packed, gidx, n, inline, inv_em, pool_ofs, pool_len):
@@ -162,27 +164,27 @@ def _gather_rows_fwd(packed, gidx, n, inline, inv_em, pool_ofs, pool_len):
 
 def _gather_rows_bwd(n, inline, res, dinst):
     gidx, inv_em, pool_ofs, pool_len = res
-    b, e, c = dinst.shape
+    e, c = dinst.shape
     pool = e - inline * n
     # emission-order gradient rows (dead emission slots -> zero)
     inv_safe = jnp.minimum(inv_em, e - 1)
-    dem = jnp.take_along_axis(dinst, inv_safe[..., None], axis=1)
-    dem = jnp.where((inv_em < e)[..., None], dem, 0.0)  # [B, inl*N+pool, C]
-    # inline tier: [B, N, inline, C] sum
-    dpacked = jnp.sum(dem[:, : inline * n].reshape(b, n, inline, c), axis=2)
+    dem = jnp.take_along_axis(dinst, inv_safe[:, None], axis=0)
+    dem = jnp.where((inv_em < e)[:, None], dem, 0.0)  # [inl*N+pool, C]
+    # inline tier: [N, inline, C] sum
+    dpacked = jnp.sum(dem[: inline * n].reshape(n, inline, c), axis=1)
     if pool > 0:
         # pool tier: contiguous per-gaussian segments -> cumsum difference
-        ps = jnp.cumsum(dem[:, inline * n :], axis=1)  # [B, pool, C]
+        ps = jnp.cumsum(dem[inline * n:], axis=0)  # [pool, C]
         hi = jnp.clip(pool_ofs + pool_len - 1, 0, pool - 1)
         lo = pool_ofs - 1
-        seg_hi = jnp.take_along_axis(ps, hi[..., None], axis=1)
+        seg_hi = jnp.take_along_axis(ps, hi[:, None], axis=0)
         seg_lo = jnp.where(
-            (lo >= 0)[..., None],
-            jnp.take_along_axis(ps, jnp.maximum(lo, 0)[..., None], axis=1),
+            (lo >= 0)[:, None],
+            jnp.take_along_axis(ps, jnp.maximum(lo, 0)[:, None], axis=0),
             0.0,
         )
         dpacked = dpacked + jnp.where(
-            (pool_len > 0)[..., None], seg_hi - seg_lo, 0.0)
+            (pool_len > 0)[:, None], seg_hi - seg_lo, 0.0)
     return dpacked, None, None, None, None
 
 
@@ -289,9 +291,12 @@ def render(
         ])
         inst = jnp.where((binning.gidx < n)[..., None], inst, 0.0)
     else:
-        inst = _gather_rows(packed, binning.gidx, n, cfg.inline,
-                            binning.inv_em, binning.pool_ofs,
-                            binning.pool_len)
+        inst = jnp.stack([
+            _gather_rows(packed[i], binning.gidx[i], n, cfg.inline,
+                         binning.inv_em[i], binning.pool_ofs[i],
+                         binning.pool_len[i])
+            for i in range(b)
+        ])
     rv = (binning.gidx < n)[..., None]
 
     tile_safe = jnp.minimum(binning.tile_of, ntx * nty - 1)

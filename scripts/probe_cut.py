@@ -109,6 +109,8 @@ def upto_fn(st, upto):
         for i in range(batch)
     ])
     inst = jnp.where((binning.gidx < n)[..., None], inst, 0.0)
+    if upto == "gather":
+        return jnp.sum(inst * inst)
     rv = (binning.gidx < n)[..., None]
     tile_safe = jnp.minimum(binning.tile_of, ntx * nty - 1)
     origin = jnp.stack(
@@ -172,7 +174,10 @@ def timeit(f, *args, reps=4):
 t0 = time.time()
 
 rows = [("proj", False), ("proj", True), ("binning", False),
+        ("gather", False), ("gather", True),
         ("pack", False), ("pack", True), ("full", False), ("full", True)]
+if len(sys.argv) > 1:
+    rows = [r for r in rows if r[0] in sys.argv[1:]]
 for upto, grad in rows:
     f = make(upto, grad)
     t_rpc = timeit(trivial, state)  # re-measure the floor per row: it drifts

@@ -41,23 +41,23 @@ def test_pool_reduction_error_bound_at_production_pool():
     assert n_pool_live > pool // 2
 
     c = 4  # gradient row width (enough to exercise the reduction)
-    dinst = rng.normal(0, 1, (1, e, c)).astype(np.float32)
+    dinst = rng.normal(0, 1, (e, c)).astype(np.float32)
 
-    packed = jnp.asarray(rng.normal(0, 1, (1, n, c)).astype(np.float32))
+    packed = jnp.asarray(rng.normal(0, 1, (n, c)).astype(np.float32))
     _, vjp = jax.vjp(
-        lambda p: _gather_rows(p, binning.gidx[None], n, INLINE,
-                               binning.inv_em[None],
-                               binning.pool_ofs[None], binning.pool_len[None]),
+        lambda p: _gather_rows(p, binning.gidx, n, INLINE,
+                               binning.inv_em,
+                               binning.pool_ofs, binning.pool_len),
         packed,
     )
     (dpacked,) = vjp(jnp.asarray(dinst))
-    dpacked = np.asarray(dpacked)[0]
+    dpacked = np.asarray(dpacked)
 
     # exact float64 scatter-add reference over the same emission layout
     gidx = np.asarray(binning.gidx)
     live = gidx < n
     ref = np.zeros((n, c), np.float64)
-    np.add.at(ref, gidx[live], dinst[0][live].astype(np.float64))
+    np.add.at(ref, gidx[live], dinst[live].astype(np.float64))
 
     err = np.abs(dpacked - ref)
     # scale-aware bound: error relative to the typical per-gaussian gradient
