@@ -132,9 +132,8 @@ def bin_instances(
     nt = n_tiles_x * n_tiles_y
     e = inline * n + pool
     assert depth_key in ("rank", "exact2", "q16"), depth_key
-    if depth_key != "rank":
-        assert carry_gid, f"depth_key={depth_key} cannot recover gid from " \
-            "the sort key; carry_gid is required"
+    # carry_gid=False always sorts the em payload (need_em below) and
+    # recovers gid = gid_all[em] post-sort — valid under every depth_key
     rank_bits = (16 if depth_key == "q16"
                  else max(1, (n - 1).bit_length()))
     assert depth_key == "exact2" or (nt + 1) < (1 << (31 - rank_bits)), \
@@ -346,12 +345,12 @@ def bin_instances(
         key_pool = jnp.where(ok_pool, (tile_p << rank_bits) | rank_p,
                              sentinel_key)
 
-    # ONE sort carrying (emission index, gaussian id). v5e A/B notes
-    # (scripts/probe_binstages.py, 1024^2/100k):
-    # the third carried array is free; padding the sort to pow2 costs ~10 ms
-    # on the with_inv path (XLA handles non-pow2 fine) — so no explicit pad;
-    # carry_gid=False recovers gid = order[key & rank_mask] post-sort
-    # instead (kept for A/B, measured neutral).
+    # ONE sort carrying at most TWO operands beyond nothing: (keys, gid) in
+    # production scatter-VJP mode, (keys, em) in emission-VJP mode (gid then
+    # comes from one free int gather gid_all[em]). r4 probe_gbwd: a THIRD
+    # sort operand costs ~2.8 ms at 450k — the XLA TPU kv-sort fast path is
+    # 2-operand only. Padding the sort to pow2 costs ~10 ms on the with_inv
+    # path (XLA handles non-pow2 fine) — so no explicit pad.
     keys = jnp.concatenate([key_in, key_pool])
     vals = jnp.arange(e, dtype=jnp.int32)
     gid_all = jnp.concatenate([gid_in, pg])

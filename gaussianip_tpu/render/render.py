@@ -49,10 +49,15 @@ class RenderConfig:
     # it post-sort with one gather from the emission-order gid table
     carry_gid: bool = struct.field(pytree_node=False, default=True)
     # attribute-gather VJP: "emission" (custom reduction via the emission
-    # layout: inv gather + reshape-sum + segment cumsum-difference) or
-    # "scatter" (XLA's native scatter-add; also drops em/inv_em from the
-    # binning sort entirely). A/B r3 (scripts/probe_vjpab.py): scatter is
-    # ~1.5 ms faster at 1024^2/100k and exact (no prefix-sum cancellation)
+    # layout: u16-bitcast inv gather + reshape-sum + MXU blocked-matmul
+    # segment cumsum-difference) or "scatter" (XLA's native scatter-add).
+    # r4 probe_gbwd on TPU: the f32 row scatter-add costs 6.1 ms at
+    # 1024^2/100k while the u16-bitcast emission reduction is ~0.6 ms —
+    # 16-bit-element gathers of the SAME bits run ~10x faster than the f32
+    # row gather, and the inverse-permutation int32 scatter is 0.13 ms.
+    # Emission mode forces carry_gid off so the binning sort stays at TWO
+    # operands (keys, em): a third sort operand costs ~2.8 ms (the XLA TPU
+    # key-value sort fast path is 2-operand only)
     vjp_mode: str = struct.field(pytree_node=False, default="scatter")
     # precision of the triangular log-transmittance matmuls in the
     # compositor ("highest" = 6-pass f32, "split2" = two bf16 passes on a
@@ -141,6 +146,39 @@ def _auto_pool(n: int, chunk: int, h: int, w: int, inline: int = 1,
     return -(-max(pool, 2 * chunk) // chunk) * chunk
 
 
+def _gather_rows_u16(x, idx):
+    """rows = x[idx] via a u16 reinterpretation of the f32 rows: bit-exact,
+    and the 16-bit-element gather lowers onto a ~10x faster TPU path than
+    the f32 row gather at large (>=100k-row) sources (r4 probe_gbwd:
+    2.44 ms -> ~0.1 ms for [450k, 10] f32). Integer u16 — NOT bf16 — so no
+    NaN canonicalization can touch the reinterpreted mantissa bits."""
+    r, c = x.shape
+    xb = jax.lax.bitcast_convert_type(x, jnp.uint16).reshape(r, 2 * c)
+    g = jnp.take_along_axis(xb, idx[:, None], axis=0)
+    return jax.lax.bitcast_convert_type(
+        g.reshape(idx.shape[0], c, 2), jnp.float32)
+
+
+def _block_prefix(x, blk: int = 256):
+    """(within-block inclusive prefix W [P, C], block totals T [nb, C]) via
+    a lower-triangular MXU matmul (f32 HIGHEST). XLA's native cumsum of a
+    [350k, C] f32 array lowers as a multi-pass scan (~0.7 ms on v5e); the
+    triangular matmul runs at ~0.1 ms (r4 probe_gbwd) — and keeping the
+    prefix BLOCK-LOCAL (no global offset add) both saves a [P, C] pass and
+    keeps the segment-difference rounding error at eps * block magnitude
+    instead of eps * global prefix magnitude."""
+    p, c = x.shape
+    pp = -(-p // blk) * blk
+    xb = jnp.pad(x, ((0, pp - p), (0, 0))).reshape(pp // blk, blk, c)
+    tri = jnp.tril(jnp.ones((blk, blk), jnp.float32))
+    within = jax.lax.dot_general(
+        tri, xb, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # [blk, nb, c]
+    within = jnp.swapaxes(within, 0, 1)  # [nb, blk, c]
+    return within.reshape(pp, c), within[:, -1, :]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _gather_rows(packed, gidx, n: int, inline: int, inv_em, pool_ofs,
                  pool_len):
@@ -149,9 +187,10 @@ def _gather_rows(packed, gidx, n: int, inline: int, inv_em, pool_ofs,
     onto slower TPU paths, see the binning unroll above).
 
     Backward reduces per-instance gradients to per-gaussian gradients via
-    the emission layout (see binning.py): gather by inv_em, reshape-sum the
-    inline tier, cumsum-difference the contiguous pool segments. No
-    scatter-add (XLA TPU scatters are ~4x slower than gathers)."""
+    the emission layout (see binning.py): u16-bitcast gather by inv_em,
+    reshape-sum the inline tier, MXU-cumsum-difference the contiguous pool
+    segments. No scatter-add (the XLA TPU f32 row scatter-add costs ~6 ms
+    at this layout; this whole backward is ~0.6 ms — r4 probe_gbwd)."""
     gidx_safe = jnp.minimum(gidx, n - 1)
     inst = jnp.take_along_axis(packed, gidx_safe[:, None], axis=0)
     return jnp.where((gidx < n)[:, None], inst, 0.0)
@@ -167,24 +206,51 @@ def _gather_rows_bwd(n, inline, res, dinst):
     e, c = dinst.shape
     pool = e - inline * n
     # emission-order gradient rows (dead emission slots -> zero)
-    inv_safe = jnp.minimum(inv_em, e - 1)
-    dem = jnp.take_along_axis(dinst, inv_safe[:, None], axis=0)
+    dem = _gather_rows_u16(dinst, jnp.minimum(inv_em, e - 1))
     dem = jnp.where((inv_em < e)[:, None], dem, 0.0)  # [inl*N+pool, C]
     # inline tier: [N, inline, C] sum
     dpacked = jnp.sum(dem[: inline * n].reshape(n, inline, c), axis=1)
     if pool > 0:
-        # pool tier: contiguous per-gaussian segments -> cumsum difference
-        ps = jnp.cumsum(dem[inline * n:], axis=0)  # [pool, C]
+        # pool tier: contiguous per-gaussian segments, summed via a BLOCK-
+        # LOCAL prefix decomposition. With W = within-block inclusive
+        # prefix, T = block totals, PTm1 = exclusive prefix of T:
+        #   seg = W[hi] - W[lo] + sum(T[block(lo) .. block(hi)-1])
+        # Segments are short (<= d_max - inline instances), so hi and lo
+        # land in the SAME or ADJACENT blocks for any d_max <= blk: the
+        # cross-block term is 0 or a single exact T row, and the rounding
+        # error stays at eps * block magnitude — the global-prefix
+        # cancellation (~3e-5 absolute on near-zero grads, r4) is gone.
+        # The >2-block general case (d_max > blk) falls through to the
+        # PTm1 difference, which is still correct, just less accurate.
+        blk = 256
+        xpool = dem[inline * n:]
+        w, t = _block_prefix(xpool, blk)  # [pool_pad, C], [nb, C]
+        nb = t.shape[0]
+        ptm1 = jnp.concatenate(
+            [jnp.zeros((1, c), jnp.float32), jnp.cumsum(t, axis=0)[:-1]])
         hi = jnp.clip(pool_ofs + pool_len - 1, 0, pool - 1)
-        lo = pool_ofs - 1
-        seg_hi = jnp.take_along_axis(ps, hi[:, None], axis=0)
-        seg_lo = jnp.where(
+        lo = pool_ofs - 1  # -1 = segment starts at slot 0
+        bhi = hi // blk
+        blo = lo // blk  # floor: -1 for lo == -1
+        w_hi = _gather_rows_u16(w, hi)
+        w_lo = jnp.where(
             (lo >= 0)[:, None],
-            jnp.take_along_axis(ps, jnp.maximum(lo, 0)[:, None], axis=0),
-            0.0,
-        )
+            _gather_rows_u16(w, jnp.maximum(lo, 0)), 0.0)
+        blo_c = jnp.clip(blo, 0, nb - 1)
+        mid = jnp.where(
+            (lo < 0)[:, None],
+            jnp.take_along_axis(ptm1, jnp.clip(bhi, 0, nb - 1)[:, None],
+                                axis=0),
+            jnp.where(
+                (bhi == blo)[:, None], 0.0,
+                jnp.where(
+                    (bhi == blo + 1)[:, None],
+                    jnp.take_along_axis(t, blo_c[:, None], axis=0),
+                    jnp.take_along_axis(
+                        ptm1, jnp.clip(bhi, 0, nb - 1)[:, None], axis=0)
+                    - jnp.take_along_axis(ptm1, blo_c[:, None], axis=0))))
         dpacked = dpacked + jnp.where(
-            (pool_len > 0)[:, None], seg_hi - seg_lo, 0.0)
+            (pool_len > 0)[:, None], w_hi - w_lo + mid, 0.0)
     return dpacked, None, None, None, None
 
 
@@ -249,16 +315,21 @@ def render(
     # UNROLLED over the (static, small) camera batch instead of vmap:
     # batched lax.sort / searchsorted / scatter lower onto much slower TPU
     # paths — vmap(B=1) alone DOUBLED bin_instances (4.0 -> 8.9 ms at
-    # 1024^2/100k, scripts/probe_binparts.py full vs vfull, r4)
+    # 1024^2/100k, scripts/probe_binparts.py full vs vfull, r4).
+    # Emission VJP needs the em payload in the sort; carrying gid as a THIRD
+    # sort operand costs ~2.8 ms (the XLA TPU kv-sort fast path is
+    # 2-operand), so emission mode recovers gid post-sort instead
+    emission = cfg.vjp_mode == "emission"
     per_cam = [
         bin_instances(
             proj.mean2d[i], proj.radius_bin[i], proj.depth[i],
             proj.valid[i], proj.radius_cull[i],
             tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
             d_max=cfg.d_max, pool=pool, chunk=cfg.chunk,
-            with_inv=(cfg.vjp_mode == "emission"),
+            with_inv=emission,
             inline=cfg.inline, inv_mode=cfg.inv_mode,
-            carry_gid=cfg.carry_gid, depth_key=cfg.depth_key,
+            carry_gid=cfg.carry_gid and not emission,
+            depth_key=cfg.depth_key,
             sort_stable=cfg.sort_stable, sort_backend=cfg.sort_backend,
             sort_interpret=cfg.interpret, ownership=cfg.ownership,
             tile_cull=cfg.tile_cull,
