@@ -71,6 +71,13 @@ class RenderConfig:
     # fwd+bwd for True; the fresh full A/B reverses it (hp=0 28.58 vs
     # hp=1 29.42 ms) — default False, measured winner
     head_prefetch: bool = struct.field(pytree_node=False, default=False)
+    # span-mode compositor: each 8-tile program reads its whole contiguous
+    # instance span from a VMEM window PREFETCHED by the previous program
+    # (no per-tile DMA waits), and the backward accumulates the span's
+    # gradients in VMEM and writes them out once per program. Falls back to
+    # streaming per program when a span exceeds SPAN_CAP chunks. Bitwise
+    # equal to the streaming kernels (test_render_pallas.py)
+    span: bool = struct.field(pytree_node=False, default=False)
     # kernel-data assembly: "t16" materializes [B, E, 16] then swapaxes to
     # [B, 16, EPAD] (one explicit relayout); "stack" writes the 16 channel
     # planes [B, E] directly into [B, 16, EPAD] via jnp.stack(axis=1) so the
@@ -310,7 +317,9 @@ def render(
     pool = cfg.pool or _auto_pool(n, cfg.chunk, h, w, cfg.inline,
                                   cfg.tile, cfg.d_max)
     e = cfg.inline * n + pool
-    epad = (-(-(e + cfg.chunk) // cfg.chunk)) * cfg.chunk + cfg.chunk
+    # slack beyond the last live instance: streaming windows need 2 chunks;
+    # span-mode granule DMAs overshoot by up to SPAN_GRAN(=4) chunks
+    epad = (-(-(e + cfg.chunk) // cfg.chunk)) * cfg.chunk + 4 * cfg.chunk
 
     # UNROLLED over the (static, small) camera batch instead of vmap:
     # batched lax.sort / searchsorted / scatter lower onto much slower TPU
@@ -413,7 +422,7 @@ def render(
         data = jnp.pad(data, ((0, 0), (0, 0), (0, epad - e)))
     out = composite_tiles(
         data, binning.starts, binning.counts, tile, cfg.chunk, cfg.interpret,
-        cfg.tri, cfg.head_prefetch,
+        cfg.tri, cfg.head_prefetch, cfg.span,
     )
     rgb, depth, alpha = tiles_to_image(out, nty, ntx, tile, h, w)
     bgc = jnp.asarray(bg_color, jnp.float32)

@@ -57,6 +57,47 @@ def test_head_prefetch_bit_equal(rng):
             err_msg=f"head-prefetch grad mismatch: {f}")
 
 
+@pytest.mark.parametrize("cap,gran", [
+    (48, 4),   # production window: everything rides the span path
+    (8, 4),    # small window: mixed span/fallback programs
+    (4, 4),    # tiny window: (almost) everything falls back
+])
+def test_span_bit_equal(rng, cap, gran, monkeypatch):
+    # the span compositor only changes DMA scheduling (one prefetched VMEM
+    # window per 8-tile program + once-per-program gradient writes) —
+    # outputs and gradients must be bitwise identical to the streaming
+    # kernels, including when spans overflow the window and programs fall
+    # back to streaming (exercised via a shrunken SPAN_CAP)
+    from gaussianip_tpu.render import composite_pallas as cp
+
+    monkeypatch.setattr(cp, "SPAN_CAP", cap)
+    monkeypatch.setattr(cp, "SPAN_GRAN", gran)
+    state = make_scene(rng)
+    # widen footprints so busy programs exceed the shrunken window
+    if cap < 48:
+        state = state.replace(scaling=state.scaling + 0.8)
+    cams = make_cameras(2, 40, 56)
+    bg = jnp.array([0.0, 0.1, 0.2])
+    base = dict(backend="pallas", interpret=True, tile=16, chunk=128,
+                d_max=16)
+    a = render(state, cams, bg, RenderConfig(**base))
+    b = render(state, cams, bg, RenderConfig(**base, span=True))
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    np.testing.assert_array_equal(np.asarray(a.alpha), np.asarray(b.alpha))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+
+    def loss(st, sp):
+        out = render(st, cams, bg, RenderConfig(**base, span=sp))
+        return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha)
+
+    ga = jax.grad(loss, allow_int=True)(state, False)
+    gb = jax.grad(loss, allow_int=True)(state, True)
+    for f in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ga, f)), np.asarray(getattr(gb, f)),
+            err_msg=f"span grad mismatch: {f}")
+
+
 def test_sort_backend_pallas_bit_equal(rng):
     # VMEM bitonic instance sort vs lax.sort through the full vmapped render
     # (batch 2 exercises the pallas_call batching rule). Under "rank" keys
