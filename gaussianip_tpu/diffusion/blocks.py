@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.conv_pallas import Conv3x3
+from .norm import FastGroupNorm
 
 
 def timestep_embedding(t, dim: int, max_period: float = 10000.0,
@@ -68,7 +69,7 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype,
+        h = FastGroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype,
                          name="norm1")(x)
         h = nn.silu(h)
         h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
@@ -76,7 +77,7 @@ class ResnetBlock(nn.Module):
             nn.silu(temb)
         )
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype,
+        h = FastGroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype,
                          name="norm2")(h)
         h = nn.silu(h)
         h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
@@ -332,7 +333,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context, ip_scale=1.0, vcr=None):
         b, h, w, c = x.shape
         residual = x
-        y = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype,
+        y = FastGroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype,
                          name="norm")(x)
         y = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(y)
         y = y.reshape(b, h * w, c)

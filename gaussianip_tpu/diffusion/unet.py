@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
+from .norm import FastGroupNorm
+
 from .blocks import (
     Downsample,
     ResnetBlock,
@@ -165,7 +167,7 @@ class UNet2DConditionModel(nn.Module):
             if bi < n_down - 1:
                 h = Upsample(ch, dtype=cfg.dtype, name=f"up_{bi}_upsample")(h)
 
-        h = nn.GroupNorm(cfg.norm_groups, epsilon=1e-5, dtype=cfg.dtype,
+        h = FastGroupNorm(cfg.norm_groups, epsilon=1e-5, dtype=cfg.dtype,
                          name="conv_norm_out")(h)
         h = nn.silu(h)
         out = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=cfg.dtype,

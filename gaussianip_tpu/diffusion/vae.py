@@ -16,6 +16,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
+from .norm import FastGroupNorm
+
 SD_VAE_SCALING = 0.18215
 
 
@@ -43,12 +45,12 @@ class VAEResnet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype,
+        h = FastGroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype,
                          name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype,
+        h = FastGroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype,
                          name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -66,7 +68,7 @@ class VAEAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        y = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype,
+        y = FastGroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype,
                          name="group_norm")(x)
         y = y.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
@@ -99,7 +101,7 @@ class Encoder(nn.Module):
         h = VAEResnet(chs[-1], cfg.norm_groups, cfg.dtype, name="mid_res_0")(h)
         h = VAEAttention(cfg.norm_groups, cfg.dtype, name="mid_attn")(h)
         h = VAEResnet(chs[-1], cfg.norm_groups, cfg.dtype, name="mid_res_1")(h)
-        h = nn.GroupNorm(cfg.norm_groups, epsilon=1e-6, dtype=cfg.dtype,
+        h = FastGroupNorm(cfg.norm_groups, epsilon=1e-6, dtype=cfg.dtype,
                          name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
@@ -126,7 +128,7 @@ class Decoder(nn.Module):
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
                 h = nn.Conv(ch, (3, 3), padding=1, dtype=cfg.dtype,
                             name=f"up_{bi}_upsample")(h)
-        h = nn.GroupNorm(cfg.norm_groups, epsilon=1e-6, dtype=cfg.dtype,
+        h = FastGroupNorm(cfg.norm_groups, epsilon=1e-6, dtype=cfg.dtype,
                          name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(3, (3, 3), padding=1, dtype=cfg.dtype, name="conv_out")(h)

@@ -66,7 +66,7 @@ def _next_pow2(x: int) -> int:
                      "chunk", "with_inv", "pad_pow2", "carry_gid",
                      "inv_mode", "inline", "depth_key", "sort_stable",
                      "sort_backend", "sort_interpret", "ownership",
-                     "tile_cull"),
+                     "tile_cull", "table_gather"),
 )
 def bin_instances(
     mean2d,
@@ -92,6 +92,7 @@ def bin_instances(
     sort_interpret: bool = False,
     ownership: str = "scatter",
     tile_cull: bool = True,
+    table_gather: str = "i32",
 ):
     """depth_key selects how within-tile depth order enters the sort:
 
@@ -310,7 +311,17 @@ def bin_instances(
     if tile_cull and not pack_mean:
         cols += [fx8 | (fy8 << 8)]
     table = jnp.stack(cols, axis=-1)  # [N, 3 or 4]
-    tp = jnp.take_along_axis(table, pg[:, None], axis=0)
+    if table_gather == "u16":
+        # bit-exact u16 reinterpretation of the int32 rows: 16-bit-element
+        # gathers lower onto a much faster TPU path than 32-bit row gathers
+        # at large sources (same trick as render._gather_rows_u16)
+        nc = table.shape[1]
+        tb = jax.lax.bitcast_convert_type(table, jnp.uint16).reshape(n, -1)
+        g = jnp.take_along_axis(tb, pg[:, None], axis=0)
+        tp = jax.lax.bitcast_convert_type(
+            g.reshape(pool, nc, 2), jnp.int32)
+    else:
+        tp = jnp.take_along_axis(table, pg[:, None], axis=0)
     a = tp[:, 0]
     rank_p = tp[:, 1]
     seg_start = tp[:, 2]

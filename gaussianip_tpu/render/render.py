@@ -109,6 +109,10 @@ class RenderConfig:
     # + cumsum) or "sorted" (searchsorted method='sort'). r4 probe_binparts:
     # the scatter lowering is ~5 ms of the 1024^2 binning; A/B before flip
     ownership: str = struct.field(pytree_node=False, default="scatter")
+    # pool-tier per-gaussian table gather in binning: "i32" row gather or
+    # "u16" (bit-exact 16-bit reinterpretation — 16-bit-element gathers
+    # lower onto a faster TPU path; A/B on TPU before flipping)
+    table_gather: str = struct.field(pytree_node=False, default="i32")
     # circle-vs-tile-rect instance culling in binning: drops bbox corner
     # tiles the opacity-tightened radius provably cannot touch (alpha <
     # 1/255 everywhere in the tile — the compositor zeroes those pixels
@@ -342,6 +346,7 @@ def render(
             sort_stable=cfg.sort_stable, sort_backend=cfg.sort_backend,
             sort_interpret=cfg.interpret, ownership=cfg.ownership,
             tile_cull=cfg.tile_cull,
+            table_gather=cfg.table_gather,
         )
         for i in range(b)
     ]
@@ -463,6 +468,7 @@ def count_live_instances(
             tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
             d_max=cfg.d_max, pool=pool, chunk=cfg.chunk, inline=cfg.inline,
             tile_cull=cfg.tile_cull,
+            table_gather=cfg.table_gather,
         )
         for i in range(b)
     ]

@@ -26,6 +26,8 @@ import flax.linen as fnn
 VARIANT = sys.argv[1] if len(sys.argv) > 1 else "full"
 K = 6
 
+import gaussianip_tpu.diffusion.norm as N
+
 if VARIANT == "nogn":
     class _IdGN(fnn.Module):
         num_groups: int = 32
@@ -35,10 +37,10 @@ if VARIANT == "nogn":
         def __call__(self, x):
             return x
 
-    def _gn(num_groups=32, *a, **kw):
-        return _IdGN(num_groups)
-
-    fnn.GroupNorm = _gn
+    N.FastGroupNorm = _IdGN
+elif VARIANT == "flaxgn":
+    # A/B: the stock flax GroupNorm (XLA-derived backward) vs the custom VJP
+    N.FastGroupNorm = fnn.GroupNorm
 
 import gaussianip_tpu.diffusion.vae as V
 

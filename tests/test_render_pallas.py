@@ -98,6 +98,31 @@ def test_span_bit_equal(rng, cap, gran, monkeypatch):
             err_msg=f"span grad mismatch: {f}")
 
 
+def test_table_gather_u16_bit_equal(rng):
+    # the u16 pool-table gather reinterprets the SAME int32 bits — outputs
+    # and gradients must be bitwise identical to the i32 row gather
+    state = make_scene(rng)
+    cams = make_cameras(2, 40, 56)
+    bg = jnp.array([0.0, 0.1, 0.2])
+    base = dict(backend="pallas", interpret=True, tile=16, chunk=128,
+                d_max=16)
+    a = render(state, cams, bg, RenderConfig(**base))
+    b = render(state, cams, bg, RenderConfig(**base, table_gather="u16"))
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+
+    def loss(st, tg):
+        out = render(st, cams, bg, RenderConfig(**base, table_gather=tg))
+        return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha)
+
+    ga = jax.grad(loss, allow_int=True)(state, "i32")
+    gb = jax.grad(loss, allow_int=True)(state, "u16")
+    for f in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ga, f)), np.asarray(getattr(gb, f)),
+            err_msg=f"table-gather grad mismatch: {f}")
+
+
 def test_sort_backend_pallas_bit_equal(rng):
     # VMEM bitonic instance sort vs lax.sort through the full vmapped render
     # (batch 2 exercises the pallas_call batching rule). Under "rank" keys
