@@ -32,11 +32,18 @@ matching both flax and torch.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# A/B escape hatch: GIP_FLAX_GROUPNORM=1 routes every FastGroupNorm call
+# through the naive grouped-layout formulation (XLA-derived VJP — the
+# measured-slow baseline), with identical params/semantics. Used by
+# scripts/probe_gnab.py to measure the custom VJP in context.
+_USE_NAIVE = os.environ.get("GIP_FLAX_GROUPNORM", "0") == "1"
 
 
 def _spatial_axes(ndim: int):
@@ -132,9 +139,29 @@ def _gn_bwd(groups: int, eps: float, res, dy):
 group_norm.defvjp(_gn_fwd, _gn_bwd)
 
 
+def _naive_group_norm(x, gamma, beta, groups: int, eps: float):
+    """Grouped-reshape formulation with XLA-derived VJP (flax-equivalent
+    math); the A/B baseline FastGroupNorm replaces."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    g = xf.reshape((b, -1, groups, c // groups))
+    mu = g.mean(axis=(1, 3), keepdims=True)
+    var = ((g - mu) ** 2).mean(axis=(1, 3), keepdims=True)
+    y = (g - mu) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(x.shape) * gamma.astype(jnp.float32) \
+        + beta.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 class FastGroupNorm(nn.Module):
     """Drop-in replacement for flax.linen.GroupNorm (same param names and
-    shapes: 'scale'/'bias' [C] float32), channels-last inputs, custom VJP."""
+    shapes: 'scale'/'bias' [C] float32), channels-last inputs, custom VJP.
+
+    `dtype` is accepted for call-site signature compatibility only: the
+    output follows x.dtype (all call sites already feed activations at the
+    module dtype, so the two conventions coincide); statistics are always
+    float32, matching flax."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -146,4 +173,7 @@ class FastGroupNorm(nn.Module):
         assert c % self.num_groups == 0, (c, self.num_groups)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if _USE_NAIVE:
+            return _naive_group_norm(x, scale, bias, self.num_groups,
+                                     self.epsilon)
         return group_norm(x, scale, bias, self.num_groups, self.epsilon)

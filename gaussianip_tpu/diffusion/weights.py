@@ -91,7 +91,10 @@ def fold_lora(params, scale: float = 1.0):
     scripts/probe_unetglue.py fold variant)."""
     if not isinstance(params, dict):
         return params
-    if "main" in params and "lora_down" in params and "lora_up" in params:
+    # a LoRADense node has EXACTLY these keys — require the full match so a
+    # future namespace that merely contains same-named submodules alongside
+    # others is recursed into, not truncated to {"main": ...}
+    if set(params.keys()) == {"main", "lora_down", "lora_up"}:
         main = dict(params["main"])
         a = np.asarray(params["lora_down"]["kernel"], np.float32)
         b = np.asarray(params["lora_up"]["kernel"], np.float32)

@@ -65,8 +65,7 @@ def _next_pow2(x: int) -> int:
     static_argnames=("tile", "n_tiles_x", "n_tiles_y", "d_max", "pool",
                      "chunk", "with_inv", "pad_pow2", "carry_gid",
                      "inv_mode", "inline", "depth_key", "sort_stable",
-                     "sort_backend", "sort_interpret", "ownership",
-                     "tile_cull", "table_gather"),
+                     "ownership", "tile_cull", "table_gather"),
 )
 def bin_instances(
     mean2d,
@@ -88,8 +87,6 @@ def bin_instances(
     inline: int = INLINE,
     depth_key: str = "rank",
     sort_stable: bool = True,
-    sort_backend: str = "xla",
-    sort_interpret: bool = False,
     ownership: str = "scatter",
     tile_cull: bool = True,
     table_gather: str = "i32",
@@ -119,15 +116,21 @@ def bin_instances(
     (q16) may vary, all compositing-equivalent.
 
     tile_cull=True additionally drops (gaussian, tile) instances whose
-    circle of `radius_cull` (defaults to `radius`) around mean2d misses the
-    tile's pixel rect — a refinement of the CUDA bbox test that is EXACTLY
-    output-preserving when radius_cull is preprocess.py's UNCAPPED
-    alpha>=1/255 radius: q(p) >= |p - mean|^2 / lam_max(cov) means every
-    pixel of a culled tile has alpha below the 1/255 gate the compositor
-    applies anyway. Corner tiles of the bounding box are the usual casualty
-    (box vs circle: up to ~21% of emitted instances at large footprints).
+    circle of `radius_cull` around mean2d misses the tile's pixel rect — a
+    refinement of the CUDA bbox test that is output-preserving up to
+    T_EPS-scale early-stop reassociation (removing zero-alpha instances
+    shifts chunk boundaries, reassociating the triangular-matmul partial
+    sums for instances sitting exactly on the T>=1e-4 early-stop threshold;
+    observed up to ~2e-4 on depth — see test_tile_cull_output_preserving)
+    when radius_cull is preprocess.py's UNCAPPED alpha>=1/255 radius:
+    q(p) >= |p - mean|^2 / lam_max(cov) means every pixel of a culled tile
+    has alpha below the 1/255 gate the compositor applies anyway. Corner
+    tiles of the bounding box are the usual casualty (box vs circle: up to
+    ~21% of emitted instances at large footprints).
     NOTE radius_cull must be >= the alpha threshold radius; the bbox radius
-    (3-sigma-capped) is only a valid stand-in when opacity <= ~0.32.
+    (3-sigma-capped) is only a valid stand-in when opacity <= ~0.32 — so
+    when radius_cull is None (no alpha-threshold radius supplied) circle
+    culling is DISABLED rather than silently run lossy against `radius`.
     """
     n = mean2d.shape[0]
     nt = n_tiles_x * n_tiles_y
@@ -150,6 +153,10 @@ def bin_instances(
     two_key = depth_key == "exact2"
     sentinel_key = jnp.int32(nt if two_key else (nt << rank_bits))
     if radius_cull is None:
+        # no alpha-threshold radius supplied: circle culling against the
+        # 3-sigma-capped bbox radius would be lossy (docstring NOTE), so
+        # fall back to the exact bbox-only path
+        tile_cull = False
         radius_cull = radius
 
     mean2d = jax.lax.stop_gradient(mean2d)
@@ -383,20 +390,10 @@ def bin_instances(
     key_ops = (keys, subs) if two_key else (keys,)
     ops = (key_ops + ((vals,) if need_em else ())
            + ((gid_all_p,) if carry_gid else ()))
-    if (sort_backend == "pallas" and not two_key and carry_gid
-            and not need_em):
-        # VMEM-resident bitonic network (ops/sort_pallas.py): the q16
-        # (key, gid) production layout sorts on-chip with no HBM traffic
-        # between stages. Unstable like the sort_stable=False default;
-        # sentinel-slot payloads may permute among themselves (masked by
-        # `live` below). Falls back internally for tiny/huge sizes.
-        from ..ops.sort_pallas import sort_pairs_pallas
-
-        sorted_ops = sort_pairs_pallas(ops[0], ops[1], pad_val=n,
-                                       interpret=sort_interpret)
-    else:
-        sorted_ops = jax.lax.sort(ops, num_keys=len(key_ops),
-                                  is_stable=sort_stable)
+    # (a VMEM-resident bitonic pallas sort was tried here in r4 and FAILED
+    # Mosaic lowering at production sizes — measured dead end, removed r5)
+    sorted_ops = jax.lax.sort(ops, num_keys=len(key_ops),
+                              is_stable=sort_stable)
     keys_c = sorted_ops[0][:e]
     em = sorted_ops[len(key_ops)][:e] if need_em else None
     gid_s = sorted_ops[-1] if carry_gid else None

@@ -100,11 +100,6 @@ class RenderConfig:
     # (same tile, same depth bucket) compose in sort-network order —
     # deterministic for a compiled program, but not source order
     sort_stable: bool = struct.field(pytree_node=False, default=False)
-    # main instance sort implementation: "xla" (lax.sort) or "pallas"
-    # (ops/sort_pallas.py VMEM-resident bitonic network; applies to the
-    # q16/carry_gid (keys, gid) layout, XLA otherwise). A/B on TPU before
-    # flipping (scripts/probe_binparts.py)
-    sort_backend: str = struct.field(pytree_node=False, default="xla")
     # pool-slot ownership construction in binning: "scatter" (mark-scatter
     # + cumsum) or "sorted" (searchsorted method='sort'). r4 probe_binparts:
     # the scatter lowering is ~5 ms of the 1024^2 binning; A/B before flip
@@ -116,7 +111,8 @@ class RenderConfig:
     # circle-vs-tile-rect instance culling in binning: drops bbox corner
     # tiles the opacity-tightened radius provably cannot touch (alpha <
     # 1/255 everywhere in the tile — the compositor zeroes those pixels
-    # anyway, so output is EXACTLY preserved; see binning.bin_instances)
+    # anyway, so output is preserved up to T_EPS-scale early-stop
+    # reassociation; see binning.bin_instances)
     tile_cull: bool = struct.field(pytree_node=False, default=True)
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
@@ -343,8 +339,7 @@ def render(
             inline=cfg.inline, inv_mode=cfg.inv_mode,
             carry_gid=cfg.carry_gid and not emission,
             depth_key=cfg.depth_key,
-            sort_stable=cfg.sort_stable, sort_backend=cfg.sort_backend,
-            sort_interpret=cfg.interpret, ownership=cfg.ownership,
+            sort_stable=cfg.sort_stable, ownership=cfg.ownership,
             tile_cull=cfg.tile_cull,
             table_gather=cfg.table_gather,
         )

@@ -213,11 +213,7 @@ def make(mode):
                                       is_stable=False)
             return (jnp.sum(ks) + jnp.sum(es) + jnp.sum(gs)).astype(
                 jnp.float32)
-        if mode == "psort2":
-            from gaussianip_tpu.ops.sort_pallas import sort_pairs_pallas
-            ks, gs = sort_pairs_pallas(keys, gid, pad_val=n)
-            return (jnp.sum(ks) + jnp.sum(gs)).astype(jnp.float32)
-        if mode in ("full", "fullp", "fullo", "vfull", "vfullo"):
+        if mode in ("full", "fullo", "vfull", "vfullo"):
             own = "sorted" if mode in ("fullo", "vfullo") else "scatter"
 
             def call(m, r, z, v):
@@ -227,9 +223,7 @@ def make(mode):
                     pool=pool, chunk=cfg.chunk, with_inv=False,
                     inline=cfg.inline, inv_mode=cfg.inv_mode,
                     carry_gid=cfg.carry_gid, depth_key=cfg.depth_key,
-                    sort_stable=cfg.sort_stable,
-                    sort_backend="pallas" if mode == "fullp" else "xla",
-                    ownership=own)
+                    sort_stable=cfg.sort_stable, ownership=own)
 
             if mode.startswith("v"):  # production context: vmap over B=1
                 b = jax.vmap(call)(proj.mean2d[None], proj.radius_bin[None],

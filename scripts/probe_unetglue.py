@@ -42,6 +42,9 @@ def patch():
             return _IdGN(num_groups)
 
         fnn.GroupNorm = gn
+        import gaussianip_tpu.diffusion.norm as N
+
+        N.FastGroupNorm = gn
     elif VARIANT == "noln":
         class _IdLN(fnn.Module):
             epsilon: float = 1e-5

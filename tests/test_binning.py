@@ -131,38 +131,6 @@ def test_binning_ownership_sorted_matches_scatter(rng):
                 np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
-def test_binning_sort_backend_pallas_matches_xla(rng):
-    # the VMEM bitonic sort must reproduce lax.sort exactly on live slots:
-    # under "rank" keys every live key is unique, so whole-array equality
-    # holds (dead slots are masked to n / nt by bin_instances itself)
-    n, w, h, tile, chunk = 300, 128, 128, 16, 128
-    ntx = nty = w // tile
-    pool = 50 * chunk
-    mean2d, radius, depth, valid = _scene(rng, n, w, h)
-    args = (jnp.asarray(mean2d), jnp.asarray(radius), jnp.asarray(depth),
-            jnp.asarray(valid))
-    kw = dict(tile=tile, n_tiles_x=ntx, n_tiles_y=nty, d_max=25, pool=pool,
-              chunk=chunk, with_inv=False, sort_interpret=True)
-    for dk in ("rank", "q16"):
-        a = bin_instances(*args, depth_key=dk, **kw)
-        b = bin_instances(*args, depth_key=dk, sort_backend="pallas", **kw)
-        np.testing.assert_array_equal(np.asarray(a.starts),
-                                      np.asarray(b.starts))
-        np.testing.assert_array_equal(np.asarray(a.counts),
-                                      np.asarray(b.counts))
-        if dk == "rank":  # unique keys -> identical permutation
-            np.testing.assert_array_equal(np.asarray(a.gidx),
-                                          np.asarray(b.gidx))
-            np.testing.assert_array_equal(np.asarray(a.tile_of),
-                                          np.asarray(b.tile_of))
-        else:  # q16 ties may permute; membership per tile must match
-            sa, ca = np.asarray(a.starts), np.asarray(a.counts)
-            for t in range(ntx * nty):
-                rows = slice(sa[t], sa[t] + ca[t])
-                assert (set(np.asarray(a.gidx)[rows])
-                        == set(np.asarray(b.gidx)[rows]))
-
-
 def test_binning_pool_overflow_accounting(rng):
     # every gaussian has a 9-tile footprint -> 5 pool draws each; pool of
     # one chunk holds 128 -> 25 gaussians fully served, rest truncated

@@ -123,33 +123,6 @@ def test_table_gather_u16_bit_equal(rng):
             err_msg=f"table-gather grad mismatch: {f}")
 
 
-def test_sort_backend_pallas_bit_equal(rng):
-    # VMEM bitonic instance sort vs lax.sort through the full vmapped render
-    # (batch 2 exercises the pallas_call batching rule). Under "rank" keys
-    # live sort keys are unique -> outputs and grads must be bitwise equal.
-    state = make_scene(rng)
-    cams = make_cameras(2, 40, 56)
-    bg = jnp.array([0.0, 0.1, 0.2])
-    base = dict(backend="pallas", interpret=True, tile=16, chunk=128,
-                d_max=16, depth_key="rank")
-    a = render(state, cams, bg, RenderConfig(**base))
-    b = render(state, cams, bg, RenderConfig(**base, sort_backend="pallas"))
-    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
-    np.testing.assert_array_equal(np.asarray(a.alpha), np.asarray(b.alpha))
-    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
-
-    def loss(st, sb):
-        out = render(st, cams, bg, RenderConfig(**base, sort_backend=sb))
-        return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha)
-
-    ga = jax.grad(loss, allow_int=True)(state, "xla")
-    gb = jax.grad(loss, allow_int=True)(state, "pallas")
-    for f in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(ga, f)), np.asarray(getattr(gb, f)),
-            err_msg=f"sort-backend grad mismatch: {f}")
-
-
 def test_pack_modes_bit_equal(rng):
     # "stack" assembles the [B, 16, EPAD] kernel data without the swapaxes
     # relayout; both modes must produce identical images
