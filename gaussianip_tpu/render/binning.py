@@ -17,16 +17,14 @@ gaussiansplatting/gaussian_renderer/__init__.py:85-93). Design (v2):
   * segments stay UNALIGNED (no chunk re-layout scatter): the Pallas
     compositor reads lane-aligned supersets of each segment and masks the
     head rows (composite_pallas.py);
-  * the sorted emission values give (a) the gaussian id per instance with
-    one small gather and (b) `inv_em`, the emission->sorted-position inverse
-    used by the backward to reduce per-instance gradients to per-gaussian
-    gradients with GATHERS + reshape-sums instead of a giant scatter-add
-    (inline tier: reshape [N, 4] and sum; pool tier: contiguous per-gaussian
-    segments -> cumsum difference). `inv_em` is only materialized when
-    with_inv=True (training).
+  * when carry_gid=False the sorted emission values recover the gaussian id
+    per instance with one small post-sort gather (trades a sort payload for
+    a gather; carry_gid=True rides the 2-operand XLA kv-sort fast path).
 
 Everything here is integer index work and runs under stop_gradient; the
-differentiable attribute gather happens in render.py.
+differentiable attribute gather (and its scatter-add VJP — a hand-built
+emission-order reduction measured ~4 ms slower end-to-end was deleted in
+r5, scripts/probe_vjpcut data in NOTES.md) happens in render.py.
 """
 
 from __future__ import annotations
@@ -50,22 +48,13 @@ class Binning(NamedTuple):
     starts: jnp.ndarray  # [NT] segment starts (UNALIGNED)
     counts: jnp.ndarray  # [NT] live instance counts per tile
     n_dropped: jnp.ndarray  # int32: instances lost to pool overflow
-    inv_em: jnp.ndarray  # [E] emission->sorted position (E = dead); [0] if
-    #                      with_inv=False
-    pool_ofs: jnp.ndarray  # [N] exclusive cumsum of pool draws per gaussian
-    pool_len: jnp.ndarray  # [N] effective pool draws per gaussian
-
-
-def _next_pow2(x: int) -> int:
-    return 1 << max(x - 1, 1).bit_length()
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "n_tiles_x", "n_tiles_y", "d_max", "pool",
-                     "chunk", "with_inv", "pad_pow2", "carry_gid",
-                     "inv_mode", "inline", "depth_key", "sort_stable",
-                     "ownership", "tile_cull", "table_gather"),
+                     "chunk", "carry_gid", "inline", "depth_key",
+                     "sort_stable", "tile_cull", "table_gather"),
 )
 def bin_instances(
     mean2d,
@@ -80,14 +69,10 @@ def bin_instances(
     d_max: int,
     pool: int,
     chunk: int,
-    with_inv: bool = False,
-    pad_pow2: bool = False,
     carry_gid: bool = True,
-    inv_mode: str = "sort",
     inline: int = INLINE,
     depth_key: str = "rank",
     sort_stable: bool = True,
-    ownership: str = "scatter",
     tile_cull: bool = True,
     table_gather: str = "i32",
 ):
@@ -259,25 +244,14 @@ def bin_instances(
     # version used for seg_start/seg_end).
     j = jnp.arange(pool, dtype=jnp.int32)
     # unclipped offsets: gaussians whose segment starts beyond the pool drop
-    # out entirely (scatter mode="drop" / searchsorted range) instead of
-    # corrupting the last slot. pool_g[j] = (#i: pool_ofs[i] <= j) - 1, two
-    # equivalent constructions:
-    #   "scatter": mark-scatter + cumsum. The r3 default — but r4
-    #     probe_binparts attributes ~5 ms of the 1024^2 binning to the XLA
-    #     TPU scatter lowering (the r3 probe_sortab A/B that rejected
-    #     searchsorted used the default method='scan' = a 17-step gather
-    #     loop, also slow);
-    #   "sorted": jnp.searchsorted(method='sort') rides lax.sort (the 450k
-    #     pair sort measures ~0.3 ms at this size) — queries are the
-    #     already-sorted arange so the merge-sort is nearly presorted.
-    if ownership == "sorted":
-        pool_g = jnp.searchsorted(pool_ofs, j, side="right",
-                                  method="sort").astype(jnp.int32) - 1
-    else:
-        marks = jnp.zeros((pool,), jnp.int32).at[pool_ofs].add(1,
-                                                              mode="drop")
-        pool_g = jnp.cumsum(marks) - 1  # [pool] owning gaussian (stale for
-        #                                 dead slots; ok_pool masks those)
+    # out entirely (scatter mode="drop") instead of corrupting the last
+    # slot. pool_g[j] = (#i: pool_ofs[i] <= j) - 1 via mark-scatter +
+    # cumsum (0.88 ms; searchsorted method='sort' measured +2.5 ms WORSE
+    # and a whole-render ownership="sorted" variant 28.07 vs 23.74 ms —
+    # r4 probe_binparts / r5 probe_variants, deleted).
+    marks = jnp.zeros((pool,), jnp.int32).at[pool_ofs].add(1, mode="drop")
+    pool_g = jnp.cumsum(marks) - 1  # [pool] owning gaussian (stale for
+    #                                 dead slots; ok_pool masks those)
     pg = jnp.clip(pool_g, 0, n - 1)
     # packed per-gaussian table -> ONE row gather. TPU gathers cost roughly
     # per ELEMENT (r4 probe_binparts: the old 4-col gather was ~2.2 ms of
@@ -363,39 +337,27 @@ def bin_instances(
         key_pool = jnp.where(ok_pool, (tile_p << rank_bits) | rank_p,
                              sentinel_key)
 
-    # ONE sort carrying at most TWO operands beyond nothing: (keys, gid) in
-    # production scatter-VJP mode, (keys, em) in emission-VJP mode (gid then
-    # comes from one free int gather gid_all[em]). r4 probe_gbwd: a THIRD
-    # sort operand costs ~2.8 ms at 450k — the XLA TPU kv-sort fast path is
-    # 2-operand only. Padding the sort to pow2 costs ~10 ms on the with_inv
-    # path (XLA handles non-pow2 fine) — so no explicit pad.
+    # ONE sort carrying at most TWO operands: (keys, gid). r4 probe_gbwd: a
+    # THIRD sort operand costs ~2.8 ms at 450k — the XLA TPU kv-sort fast
+    # path is 2-operand only. XLA handles non-pow2 sizes fine (an explicit
+    # pow2 pad measured ~10 ms slower) — so no explicit pad.
     keys = jnp.concatenate([key_in, key_pool])
-    vals = jnp.arange(e, dtype=jnp.int32)
     gid_all = jnp.concatenate([gid_in, pg])
-    # the emission-index payload is only needed for the inverse permutation
-    # (with_inv) or post-sort gid recovery (carry_gid=False) — don't pay for
-    # a dead sort operand otherwise
-    need_em = with_inv or not carry_gid
-    pad = (_next_pow2(e) - e) if pad_pow2 else 0
+    # the emission-index payload is only needed for post-sort gid recovery
+    # (carry_gid=False) — don't pay for a dead sort operand otherwise
     if two_key:
         subs = jnp.concatenate([sub_in, sub_pool])
-    if pad:
-        keys = jnp.pad(keys, (0, pad), constant_values=sentinel_key)
-        if two_key:
-            subs = jnp.pad(subs, (0, pad), constant_values=2**31 - 1)
-        vals = jnp.pad(vals, (0, pad), constant_values=e)
-        gid_all_p = jnp.pad(gid_all, (0, pad), constant_values=n)
-    else:
-        gid_all_p = gid_all
     key_ops = (keys, subs) if two_key else (keys,)
-    ops = (key_ops + ((vals,) if need_em else ())
-           + ((gid_all_p,) if carry_gid else ()))
+    if carry_gid:
+        ops = key_ops + (gid_all,)
+    else:
+        ops = key_ops + (jnp.arange(e, dtype=jnp.int32),)
     # (a VMEM-resident bitonic pallas sort was tried here in r4 and FAILED
     # Mosaic lowering at production sizes — measured dead end, removed r5)
     sorted_ops = jax.lax.sort(ops, num_keys=len(key_ops),
                               is_stable=sort_stable)
     keys_c = sorted_ops[0][:e]
-    em = sorted_ops[len(key_ops)][:e] if need_em else None
+    em = None if carry_gid else sorted_ops[-1][:e]
     gid_s = sorted_ops[-1] if carry_gid else None
 
     tile_sorted = (keys_c if two_key
@@ -416,36 +378,10 @@ def bin_instances(
     starts = bounds[:nt]
     counts = bounds[1:] - bounds[:nt]
 
-    if with_inv:
-        # inverse permutation of em (an exact permutation of [0, e) — every
-        # emission slot appears once; among equal sentinel keys the stable
-        # sort keeps real slots ahead of pow2 padding). "scatter"
-        # (unique-index scatter) measures 3 ms faster end-to-end than the
-        # second sort at the inline=1/450k layout (scripts/probe_ab3.py,
-        # r3) — earlier layouts hit a ~200 ms XLA scatter pathology, so
-        # re-measure end-to-end if the layout changes again.
-        pos = jnp.arange(e, dtype=jnp.int32)
-        pv = jnp.where(live, pos, e)
-        if inv_mode == "scatter":
-            inv_em = jnp.full((e,), e, jnp.int32).at[em].set(
-                pv, unique_indices=True, mode="promise_in_bounds")
-        else:
-            em_key = em
-            if pad:
-                em_key = jnp.pad(em_key, (0, pad), constant_values=e)
-                pv = jnp.pad(pv, (0, pad), constant_values=e)
-            _, inv_s = jax.lax.sort((em_key, pv), num_keys=1)
-            inv_em = inv_s[:e]
-    else:
-        inv_em = jnp.zeros((1,), jnp.int32)
-
     return Binning(
         gidx=gidx,
         tile_of=jnp.where(live, tile_sorted, nt),
         starts=starts,
         counts=counts,
         n_dropped=n_dropped,
-        inv_em=inv_em,
-        pool_ofs=pool_ofs,
-        pool_len=extra_eff,
     )

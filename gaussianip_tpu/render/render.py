@@ -11,14 +11,13 @@ TPU-first differences: the whole camera batch renders in one jitted, vmapped
 call (the reference loops cameras in Python, reference: GaussianIP.py:154-204);
 the compositor is the Pallas MXU kernel (composite_pallas.py) with a pure-JAX
 reference fallback for CPU/debug. Instance attributes ride one packed gather
-(TPU gathers amortize over row width); the gather's VJP is a custom
-emission-order reduction (gather + reshape-sum + segment cumsum-difference)
-instead of XLA's giant scatter-add — see binning.py for the layout.
+(TPU gathers amortize over row width), unrolled per camera, with XLA's
+scatter-add VJP (a hand-built emission-order reduction measured ~4 ms slower
+end-to-end and was removed — scripts/probe_vjpcut.py, r4).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -41,43 +40,19 @@ class RenderConfig:
     # overflow pool. 1 measured fastest at 1024^2/100k (the sort universe
     # inline*N + pool is smallest; scripts/probe_inline.py: 53 -> 40.5 ms)
     inline: int = struct.field(pytree_node=False, default=1)
-    # emission->sorted inverse: "scatter" (unique-index scatter; 3 ms
-    # faster end-to-end at 1024^2/100k, scripts/probe_ab3.py) or "sort"
-    # (second key sort; the safe fallback if scatter lowering regresses)
-    inv_mode: str = struct.field(pytree_node=False, default="scatter")
     # carry the gaussian id through the main sort (3rd operand) vs recover
     # it post-sort with one gather from the emission-order gid table
     carry_gid: bool = struct.field(pytree_node=False, default=True)
-    # attribute-gather VJP: "emission" (custom reduction via the emission
-    # layout: u16-bitcast inv gather + reshape-sum + MXU blocked-matmul
-    # segment cumsum-difference) or "scatter" (XLA's native scatter-add).
-    # r4 probe_gbwd on TPU: the f32 row scatter-add costs 6.1 ms at
-    # 1024^2/100k while the u16-bitcast emission reduction is ~0.6 ms —
-    # 16-bit-element gathers of the SAME bits run ~10x faster than the f32
-    # row gather, and the inverse-permutation int32 scatter is 0.13 ms.
-    # Emission mode forces carry_gid off so the binning sort stays at TWO
-    # operands (keys, em): a third sort operand costs ~2.8 ms (the XLA TPU
-    # key-value sort fast path is 2-operand only)
-    vjp_mode: str = struct.field(pytree_node=False, default="scatter")
     # precision of the triangular log-transmittance matmuls in the
     # compositor ("highest" = 6-pass f32, "split2" = two bf16 passes on a
     # hi+lo split). split2 measured ~equal accuracy (tests) and part of the
     # 33.85->29.89 ms combo win (scripts/probe_sorttri.py, r4 TPU A/B)
+    # (Deleted measured losers, r5: vjp_mode="emission" — ~4 ms slower
+    # end-to-end than the scatter VJP despite a 10x-flattering microbench;
+    # head_prefetch=True — 29.42 vs 28.58 ms; span-mode compositor —
+    # 24.15 vs 23.81 ms fwd+bwd; ownership="sorted" — 28.07 vs 23.74 ms.
+    # scripts/probe_{vjpcut,packab,span,variants}.py, NOTES.md.)
     tri: str = struct.field(pytree_node=False, default="split2")
-    # forward compositor head prefetch: issue all TPB tiles' first-chunk
-    # DMAs at program start (at 1024^2 the average tile is 1-2 chunks, so
-    # per-tile DMA latency dominates the loop). A/B history
-    # (scripts/probe_packab.py): an early r4 reading said 34.46 -> 33.61 ms
-    # fwd+bwd for True; the fresh full A/B reverses it (hp=0 28.58 vs
-    # hp=1 29.42 ms) — default False, measured winner
-    head_prefetch: bool = struct.field(pytree_node=False, default=False)
-    # span-mode compositor: each 8-tile program reads its whole contiguous
-    # instance span from a VMEM window PREFETCHED by the previous program
-    # (no per-tile DMA waits), and the backward accumulates the span's
-    # gradients in VMEM and writes them out once per program. Falls back to
-    # streaming per program when a span exceeds SPAN_CAP chunks. Bitwise
-    # equal to the streaming kernels (test_render_pallas.py)
-    span: bool = struct.field(pytree_node=False, default=False)
     # kernel-data assembly: "t16" materializes [B, E, 16] then swapaxes to
     # [B, 16, EPAD] (one explicit relayout); "stack" writes the 16 channel
     # planes [B, E] directly into [B, 16, EPAD] via jnp.stack(axis=1) so the
@@ -100,14 +75,12 @@ class RenderConfig:
     # (same tile, same depth bucket) compose in sort-network order —
     # deterministic for a compiled program, but not source order
     sort_stable: bool = struct.field(pytree_node=False, default=False)
-    # pool-slot ownership construction in binning: "scatter" (mark-scatter
-    # + cumsum) or "sorted" (searchsorted method='sort'). r4 probe_binparts:
-    # the scatter lowering is ~5 ms of the 1024^2 binning; A/B before flip
-    ownership: str = struct.field(pytree_node=False, default="scatter")
-    # pool-tier per-gaussian table gather in binning: "i32" row gather or
-    # "u16" (bit-exact 16-bit reinterpretation — 16-bit-element gathers
-    # lower onto a faster TPU path; A/B on TPU before flipping)
-    table_gather: str = struct.field(pytree_node=False, default="i32")
+    # pool-tier per-gaussian table gather in binning: "u16" (bit-exact
+    # 16-bit reinterpretation — 16-bit-element gathers lower onto a faster
+    # TPU path) or "i32" (plain row gather). r5 A/B at 1024^2/100k
+    # (scripts/probe_variants.py): u16 8.55/22.43 ms fwd/f+b vs i32
+    # 10.19/23.74 — u16 is the measured default
+    table_gather: str = struct.field(pytree_node=False, default="u16")
     # circle-vs-tile-rect instance culling in binning: drops bbox corner
     # tiles the opacity-tightened radius provably cannot touch (alpha <
     # 1/255 everywhere in the tile — the compositor zeroes those pixels
@@ -151,117 +124,6 @@ def _auto_pool(n: int, chunk: int, h: int, w: int, inline: int = 1,
                    max(int((3.5 - 0.35 * (inline - 1)) * n * res_scale),
                        2 * n, 2 * chunk))
     return -(-max(pool, 2 * chunk) // chunk) * chunk
-
-
-def _gather_rows_u16(x, idx):
-    """rows = x[idx] via a u16 reinterpretation of the f32 rows: bit-exact,
-    and the 16-bit-element gather lowers onto a ~10x faster TPU path than
-    the f32 row gather at large (>=100k-row) sources (r4 probe_gbwd:
-    2.44 ms -> ~0.1 ms for [450k, 10] f32). Integer u16 — NOT bf16 — so no
-    NaN canonicalization can touch the reinterpreted mantissa bits."""
-    r, c = x.shape
-    xb = jax.lax.bitcast_convert_type(x, jnp.uint16).reshape(r, 2 * c)
-    g = jnp.take_along_axis(xb, idx[:, None], axis=0)
-    return jax.lax.bitcast_convert_type(
-        g.reshape(idx.shape[0], c, 2), jnp.float32)
-
-
-def _block_prefix(x, blk: int = 256):
-    """(within-block inclusive prefix W [P, C], block totals T [nb, C]) via
-    a lower-triangular MXU matmul (f32 HIGHEST). XLA's native cumsum of a
-    [350k, C] f32 array lowers as a multi-pass scan (~0.7 ms on v5e); the
-    triangular matmul runs at ~0.1 ms (r4 probe_gbwd) — and keeping the
-    prefix BLOCK-LOCAL (no global offset add) both saves a [P, C] pass and
-    keeps the segment-difference rounding error at eps * block magnitude
-    instead of eps * global prefix magnitude."""
-    p, c = x.shape
-    pp = -(-p // blk) * blk
-    xb = jnp.pad(x, ((0, pp - p), (0, 0))).reshape(pp // blk, blk, c)
-    tri = jnp.tril(jnp.ones((blk, blk), jnp.float32))
-    within = jax.lax.dot_general(
-        tri, xb, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)  # [blk, nb, c]
-    within = jnp.swapaxes(within, 0, 1)  # [nb, blk, c]
-    return within.reshape(pp, c), within[:, -1, :]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _gather_rows(packed, gidx, n: int, inline: int, inv_em, pool_ofs,
-                 pool_len):
-    """inst[i] = packed[gidx[i]] with dead rows zeroed (UNBATCHED — the
-    caller unrolls over the camera batch; batched gathers/scatters lower
-    onto slower TPU paths, see the binning unroll above).
-
-    Backward reduces per-instance gradients to per-gaussian gradients via
-    the emission layout (see binning.py): u16-bitcast gather by inv_em,
-    reshape-sum the inline tier, MXU-cumsum-difference the contiguous pool
-    segments. No scatter-add (the XLA TPU f32 row scatter-add costs ~6 ms
-    at this layout; this whole backward is ~0.6 ms — r4 probe_gbwd)."""
-    gidx_safe = jnp.minimum(gidx, n - 1)
-    inst = jnp.take_along_axis(packed, gidx_safe[:, None], axis=0)
-    return jnp.where((gidx < n)[:, None], inst, 0.0)
-
-
-def _gather_rows_fwd(packed, gidx, n, inline, inv_em, pool_ofs, pool_len):
-    return (_gather_rows(packed, gidx, n, inline, inv_em, pool_ofs, pool_len),
-            (gidx, inv_em, pool_ofs, pool_len))
-
-
-def _gather_rows_bwd(n, inline, res, dinst):
-    gidx, inv_em, pool_ofs, pool_len = res
-    e, c = dinst.shape
-    pool = e - inline * n
-    # emission-order gradient rows (dead emission slots -> zero)
-    dem = _gather_rows_u16(dinst, jnp.minimum(inv_em, e - 1))
-    dem = jnp.where((inv_em < e)[:, None], dem, 0.0)  # [inl*N+pool, C]
-    # inline tier: [N, inline, C] sum
-    dpacked = jnp.sum(dem[: inline * n].reshape(n, inline, c), axis=1)
-    if pool > 0:
-        # pool tier: contiguous per-gaussian segments, summed via a BLOCK-
-        # LOCAL prefix decomposition. With W = within-block inclusive
-        # prefix, T = block totals, PTm1 = exclusive prefix of T:
-        #   seg = W[hi] - W[lo] + sum(T[block(lo) .. block(hi)-1])
-        # Segments are short (<= d_max - inline instances), so hi and lo
-        # land in the SAME or ADJACENT blocks for any d_max <= blk: the
-        # cross-block term is 0 or a single exact T row, and the rounding
-        # error stays at eps * block magnitude — the global-prefix
-        # cancellation (~3e-5 absolute on near-zero grads, r4) is gone.
-        # The >2-block general case (d_max > blk) falls through to the
-        # PTm1 difference, which is still correct, just less accurate.
-        blk = 256
-        xpool = dem[inline * n:]
-        w, t = _block_prefix(xpool, blk)  # [pool_pad, C], [nb, C]
-        nb = t.shape[0]
-        ptm1 = jnp.concatenate(
-            [jnp.zeros((1, c), jnp.float32), jnp.cumsum(t, axis=0)[:-1]])
-        hi = jnp.clip(pool_ofs + pool_len - 1, 0, pool - 1)
-        lo = pool_ofs - 1  # -1 = segment starts at slot 0
-        bhi = hi // blk
-        blo = lo // blk  # floor: -1 for lo == -1
-        w_hi = _gather_rows_u16(w, hi)
-        w_lo = jnp.where(
-            (lo >= 0)[:, None],
-            _gather_rows_u16(w, jnp.maximum(lo, 0)), 0.0)
-        blo_c = jnp.clip(blo, 0, nb - 1)
-        mid = jnp.where(
-            (lo < 0)[:, None],
-            jnp.take_along_axis(ptm1, jnp.clip(bhi, 0, nb - 1)[:, None],
-                                axis=0),
-            jnp.where(
-                (bhi == blo)[:, None], 0.0,
-                jnp.where(
-                    (bhi == blo + 1)[:, None],
-                    jnp.take_along_axis(t, blo_c[:, None], axis=0),
-                    jnp.take_along_axis(
-                        ptm1, jnp.clip(bhi, 0, nb - 1)[:, None], axis=0)
-                    - jnp.take_along_axis(ptm1, blo_c[:, None], axis=0))))
-        dpacked = dpacked + jnp.where(
-            (pool_len > 0)[:, None], w_hi - w_lo + mid, 0.0)
-    return dpacked, None, None, None, None
-
-
-_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def render(
@@ -317,29 +179,25 @@ def render(
     pool = cfg.pool or _auto_pool(n, cfg.chunk, h, w, cfg.inline,
                                   cfg.tile, cfg.d_max)
     e = cfg.inline * n + pool
-    # slack beyond the last live instance: streaming windows need 2 chunks;
-    # span-mode granule DMAs overshoot by up to SPAN_GRAN(=4) chunks
+    # slack beyond the last live instance: streaming windows need 2 chunks
+    # (the extra +4 matches the removed span kernel's granule overshoot and
+    # is kept so default graph shapes — and the compile cache — are stable)
     epad = (-(-(e + cfg.chunk) // cfg.chunk)) * cfg.chunk + 4 * cfg.chunk
 
     # UNROLLED over the (static, small) camera batch instead of vmap:
     # batched lax.sort / searchsorted / scatter lower onto much slower TPU
     # paths — vmap(B=1) alone DOUBLED bin_instances (4.0 -> 8.9 ms at
-    # 1024^2/100k, scripts/probe_binparts.py full vs vfull, r4).
-    # Emission VJP needs the em payload in the sort; carrying gid as a THIRD
-    # sort operand costs ~2.8 ms (the XLA TPU kv-sort fast path is
-    # 2-operand), so emission mode recovers gid post-sort instead
-    emission = cfg.vjp_mode == "emission"
+    # 1024^2/100k, scripts/probe_binparts.py full vs vfull, r4)
     per_cam = [
         bin_instances(
             proj.mean2d[i], proj.radius_bin[i], proj.depth[i],
             proj.valid[i], proj.radius_cull[i],
             tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
             d_max=cfg.d_max, pool=pool, chunk=cfg.chunk,
-            with_inv=emission,
-            inline=cfg.inline, inv_mode=cfg.inv_mode,
-            carry_gid=cfg.carry_gid and not emission,
+            inline=cfg.inline,
+            carry_gid=cfg.carry_gid,
             depth_key=cfg.depth_key,
-            sort_stable=cfg.sort_stable, ownership=cfg.ownership,
+            sort_stable=cfg.sort_stable,
             tile_cull=cfg.tile_cull,
             table_gather=cfg.table_gather,
         )
@@ -361,22 +219,14 @@ def render(
         ],
         axis=-1,
     )  # [B, N, 10]
-    if cfg.vjp_mode == "scatter":
-        gidx_safe = jnp.minimum(binning.gidx, n - 1)
-        # unrolled per camera (like the binning above): the batched gather
-        # AND its scatter-add VJP lower faster without the batch dim
-        inst = jnp.stack([
-            jnp.take_along_axis(packed[i], gidx_safe[i][:, None], axis=0)
-            for i in range(b)
-        ])
-        inst = jnp.where((binning.gidx < n)[..., None], inst, 0.0)
-    else:
-        inst = jnp.stack([
-            _gather_rows(packed[i], binning.gidx[i], n, cfg.inline,
-                         binning.inv_em[i], binning.pool_ofs[i],
-                         binning.pool_len[i])
-            for i in range(b)
-        ])
+    gidx_safe = jnp.minimum(binning.gidx, n - 1)
+    # unrolled per camera (like the binning above): the batched gather
+    # AND its scatter-add VJP lower faster without the batch dim
+    inst = jnp.stack([
+        jnp.take_along_axis(packed[i], gidx_safe[i][:, None], axis=0)
+        for i in range(b)
+    ])
+    inst = jnp.where((binning.gidx < n)[..., None], inst, 0.0)
     rv = (binning.gidx < n)[..., None]
 
     tile_safe = jnp.minimum(binning.tile_of, ntx * nty - 1)
@@ -422,7 +272,7 @@ def render(
         data = jnp.pad(data, ((0, 0), (0, 0), (0, epad - e)))
     out = composite_tiles(
         data, binning.starts, binning.counts, tile, cfg.chunk, cfg.interpret,
-        cfg.tri, cfg.head_prefetch, cfg.span,
+        cfg.tri,
     )
     rgb, depth, alpha = tiles_to_image(out, nty, ntx, tile, h, w)
     bgc = jnp.asarray(bg_color, jnp.float32)

@@ -358,6 +358,8 @@ def refine_views(
                                 view_idx=vi_k)
         # phase C: dense groups blend self + two key views
         comb = combine(cache_a, cache_k)
+        # the separate anchor/key caches are dead once combined (~0.9 GB)
+        cache_a = cache_k = None
         for gi, ((w_l, w_r), mnames, midxs, ctx_d, ctrl_d) in enumerate(
                 dense_batches):
             weights = {"w_l": w_l, "w_r": w_r, "lambda_self": lambda_self}
@@ -365,12 +367,14 @@ def refine_views(
                               vcr_cache=(comb,),
                               vcr_idx=dense_idx[gi], vcr_weights=weights,
                               view_idx=vi_d[gi])
+        comb = None
         # sync per step: async dispatch would otherwise keep several steps'
-        # attention caches alive at once and exhaust HBM
-        lat.block_until_ready()
+        # attention caches alive at once and exhaust HBM. This must be a
+        # HOST READBACK: block_until_ready does NOT block through the axon
+        # tunnel (NOTES gotcha #1) and the un-synced r5 run RESOURCE_
+        # EXHAUSTED exactly here; a D2H fetch drains the in-order queue.
+        jax.device_get(lat[0, 0, 0, 0])
 
-    # drop the final step's attention caches before the decode sweep
-    del cache_a, cache_k, comb
     return decode(lat)
 
 

@@ -127,6 +127,12 @@ def main():
         results["stage1_step_ms"] = round(step_ms, 1)
         results["stage1_2400_steps_min"] = round(step_ms * 2.4 / 60, 2)
         print("stage1:", results["stage1_step_ms"], "ms/step", flush=True)
+        # free stage-1 device state before stage 2 (the donated TrainState,
+        # optimizer moments, and step executable workspace are ~1 GB that
+        # stage 2's attention caches need)
+        del ts, ts1, m, step_fn, guidance, models
+        import gc
+        gc.collect()
 
     # ---- stage 2 ----
     if "2" in which:

@@ -96,8 +96,6 @@ cases = {
     "cull256": (RenderConfig(backend="pallas", chunk=256), "cull=1 c256"),
     "base256": (RenderConfig(backend="pallas", tile_cull=False, chunk=256),
                 "cull=0 c256"),
-    "emission": (RenderConfig(backend="pallas", vjp_mode="emission"),
-                 "cull=1 vjp=emission"),
 }
 for k, (cfg, label) in cases.items():
     if which in ("all", k):

@@ -87,10 +87,10 @@ def upto_fn(st, upto):
             proj.mean2d[i], proj.radius_bin[i], proj.depth[i],
             proj.valid[i], proj.radius_cull[i],
             tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
-            d_max=cfg.d_max, pool=pool, chunk=cfg.chunk, with_inv=False,
-            inline=cfg.inline, inv_mode=cfg.inv_mode,
+            d_max=cfg.d_max, pool=pool, chunk=cfg.chunk,
+            inline=cfg.inline,
             carry_gid=cfg.carry_gid, depth_key=cfg.depth_key,
-            sort_stable=cfg.sort_stable, ownership=cfg.ownership,
+            sort_stable=cfg.sort_stable,
             tile_cull=cfg.tile_cull)
         for i in range(batch)
     ]

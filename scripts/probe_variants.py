@@ -1,6 +1,6 @@
 """A/B the remaining gated binning variants at 1024^2/100k on TPU:
 table_gather ("i32" vs "u16", targets the measured 2.2 ms emit row-gather)
-and ownership ("scatter" vs "sorted" pool-slot construction). Full render
+(i32 vs u16 pool-table row gather). Full render
 fwd and fwd+bwd, K-chained timing per NOTES gotcha 1.
 
 Usage: probe_variants.py [tag ...]   tags from: base u16 sorted u16sorted
@@ -49,8 +49,6 @@ K = 3
 VARIANTS = {
     "base": dict(),
     "u16": dict(table_gather="u16"),
-    "sorted": dict(ownership="sorted"),
-    "u16sorted": dict(table_gather="u16", ownership="sorted"),
 }
 
 

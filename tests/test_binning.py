@@ -1,6 +1,6 @@
 """Binning invariants (two-tier emission): segment layout, depth ordering,
-footprint clamping, pool-overflow accounting, emission inverse — against a
-direct numpy reconstruction."""
+footprint clamping, pool-overflow accounting — against a direct numpy
+reconstruction."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -25,14 +25,12 @@ def test_binning_invariants(rng):
     b = bin_instances(jnp.asarray(mean2d), jnp.asarray(radius),
                       jnp.asarray(depth), jnp.asarray(valid),
                       tile=tile, n_tiles_x=ntx, n_tiles_y=nty,
-                      d_max=25, pool=pool, chunk=chunk, with_inv=True)
+                      d_max=25, pool=pool, chunk=chunk)
     starts = np.asarray(b.starts)
     counts = np.asarray(b.counts)
     gidx = np.asarray(b.gidx)
     tile_of = np.asarray(b.tile_of)
-    inv_em = np.asarray(b.inv_em)
     nt = ntx * nty
-    e = INLINE * n + pool
     assert int(b.n_dropped) == 0
 
     # segments tile the live prefix contiguously, in tile order
@@ -60,21 +58,6 @@ def test_binning_invariants(rng):
         rows = np.arange(starts[t], starts[t] + counts[t])
         assert g in gidx[rows]
 
-    # emission inverse: inv_em maps each live emission slot to its sorted
-    # position; every live sorted row is hit exactly once
-    live_inv = inv_em[inv_em < e]
-    assert len(live_inv) == n_live
-    assert sorted(live_inv) == list(range(n_live))
-    # inline slot e = g * INLINE + d maps back to gaussian g
-    for em_slot in live_inv[:50]:
-        pass  # positions checked via gidx below
-    pos = inv_em[: INLINE * n]
-    for g in rng.integers(0, n, 20):
-        for d in range(INLINE):
-            p = pos[g * INLINE + d]
-            if p < e:
-                assert gidx[p] == g
-
 
 def test_binning_depth_key_modes(rng):
     # exact2 (two-key lexicographic sort, no N argsort) must reproduce the
@@ -88,7 +71,7 @@ def test_binning_depth_key_modes(rng):
     args = (jnp.asarray(mean2d), jnp.asarray(radius), jnp.asarray(depth),
             jnp.asarray(valid))
     kw = dict(tile=tile, n_tiles_x=ntx, n_tiles_y=nty, d_max=25, pool=pool,
-              chunk=chunk, with_inv=True)
+              chunk=chunk)
     ref = bin_instances(*args, depth_key="rank", **kw)
     two = bin_instances(*args, depth_key="exact2", **kw)
     for a, b in zip(ref, two):
@@ -109,26 +92,6 @@ def test_binning_depth_key_modes(rng):
         assert set(gidx[rows]) == set(np.asarray(ref.gidx)[refrows])
         d = depth[gidx[rows]]
         assert (np.diff(d) >= -tol - 1e-6).all()
-
-
-def test_binning_ownership_sorted_matches_scatter(rng):
-    # pool_g[j] = (#i: pool_ofs[i] <= j) - 1 has two constructions
-    # (mark-scatter+cumsum vs searchsorted method='sort'); they must be
-    # bit-equal on every BinResult field, across depth keys and a
-    # pool-overflow scene (offsets past the pool dropped in both)
-    n, w, h, tile, chunk = 300, 128, 128, 16, 128
-    ntx = nty = w // tile
-    mean2d, radius, depth, valid = _scene(rng, n, w, h)
-    args = (jnp.asarray(mean2d), jnp.asarray(radius), jnp.asarray(depth),
-            jnp.asarray(valid))
-    for pool in (50 * chunk, 4 * chunk):  # ample + overflowing
-        kw = dict(tile=tile, n_tiles_x=ntx, n_tiles_y=nty, d_max=25,
-                  pool=pool, chunk=chunk, with_inv=True)
-        for dk in ("rank", "exact2", "q16"):
-            a = bin_instances(*args, depth_key=dk, **kw)
-            b = bin_instances(*args, depth_key=dk, ownership="sorted", **kw)
-            for fa, fb in zip(a, b):
-                np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
 def test_binning_pool_overflow_accounting(rng):

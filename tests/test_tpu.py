@@ -7,7 +7,7 @@ Run on a TPU host as:
 Promotes the ad-hoc probe-script checks into a repeatable tier (VERDICT r3
 item 5): compiled Pallas fwd/bwd vs the pure-JAX reference compositor
 on-device, bit-equality of the gated kernel variants (pack_mode,
-head_prefetch), precision of the split2 triangular matmul, the image-level
+table_gather), precision of the split2 triangular matmul, the image-level
 cost of the q16 depth-key approximation, and one mesh-sharded train-ish
 step. The reference exercises its CUDA kernel on every run (reference:
 gaussiansplatting/gaussian_renderer/__init__.py:85-93); this is our
@@ -106,13 +106,12 @@ def test_pallas_matches_reference_grads_on_device(scene):
 
 
 def test_gated_variants_bit_equal_on_device(scene):
-    """pack_mode / head_prefetch are behavior-neutral switches: their
+    """pack_mode / table_gather are behavior-neutral switches: their
     compiled outputs must be BITWISE equal to the default before either
     default may flip (the CPU interpret-mode tests already assert this;
     here it holds for the real Mosaic lowering)."""
     base = _rgb(scene, backend="pallas")
-    for kw in ({"pack_mode": "stack"}, {"head_prefetch": False},
-               {"head_prefetch": True, "pack_mode": "stack"}):
+    for kw in ({"pack_mode": "stack"}, {"table_gather": "i32"}):
         v = _rgb(scene, backend="pallas", **kw)
         assert (v == base).all(), f"{kw} not bit-equal"
 
