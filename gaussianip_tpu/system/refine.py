@@ -176,7 +176,8 @@ def make_refine_step(models: RefineModels, ddim: DDIMSchedule,
     jitted = {}
 
     def run(latents, t, t_prev, context, control, vcr_mode="off",
-            vcr_cache=None, vcr_weights=None, vcr_idx=None, view_idx=None):
+            vcr_cache=None, vcr_weights=None, vcr_idx=None, view_idx=None,
+            analyze=False):
         key = (vcr_mode, latents.shape, vcr_idx is None, view_idx is None,
                None if view_idx is None else view_idx.shape)
         if key not in jitted:
@@ -187,9 +188,14 @@ def make_refine_step(models: RefineModels, ddim: DDIMSchedule,
                     up, cnp, l, tt, tp, cx, ct, vcr_mode, vc, vw,
                     vi if has_idx else None, wi if has_view else None),
             )
-        return jitted[key](models.unet_params, models.controlnet_params,
-                           latents, t, t_prev, context, control, vcr_cache,
-                           vcr_weights, vcr_idx, view_idx)
+        args = (models.unet_params, models.controlnet_params,
+                latents, t, t_prev, context, control, vcr_cache,
+                vcr_weights, vcr_idx, view_idx)
+        if analyze:
+            # compile-only HBM accounting (scripts/probe_refinemem.py):
+            # returns the XLA memory analysis instead of executing
+            return jitted[key].lower(*args).compile().memory_analysis()
+        return jitted[key](*args)
 
     return run
 
@@ -216,6 +222,31 @@ def refine_views(
     the devices. dense_batch caps the per-call group size (memory)."""
     n_views = images.shape[0]
     assert n_views == 32, "the VCR topology is defined for 32 views"
+    # cap materialized attention scores while the VCR caches are resident:
+    # at the refine's CFG batch 8 the 64^2-level self-attention would
+    # otherwise materialize 4.3 GB of f32 scores per layer next to ~2.6 GB
+    # of caches + 2.8 GB weights and RESOURCE_EXHAUST the 16 GB chip
+    # (read at trace time in blocks._attend; restored on exit)
+    import os as _os
+    _prev_budget = _os.environ.get("GIP_ATTN_SCORE_BYTES")
+    _os.environ["GIP_ATTN_SCORE_BYTES"] = "2e9"
+    try:
+        return _refine_views_inner(
+            models, images, control_images, contexts, key, ddim, num_steps,
+            num_ladder, guidance_scale, ip_scale, lambda_self, dense_batch,
+            mesh)
+    finally:
+        if _prev_budget is None:
+            _os.environ.pop("GIP_ATTN_SCORE_BYTES", None)
+        else:
+            _os.environ["GIP_ATTN_SCORE_BYTES"] = _prev_budget
+
+
+def _refine_views_inner(
+    models, images, control_images, contexts, key, ddim, num_steps,
+    num_ladder, guidance_scale, ip_scale, lambda_self, dense_batch, mesh,
+):
+    n_views = images.shape[0]
     ddim = ddim or make_ddim_schedule()
     ladder = np.asarray(refine_timestep_ladder(num_ladder))
     steps = ladder[-num_steps:]  # descending
