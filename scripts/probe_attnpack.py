@@ -31,12 +31,15 @@ jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # stage-1 self-attention shapes: (B=12 CFG-triple x 4 cams, seq, heads, dh)
+# batch 6 (not the production 12): the base variant's materialized f32
+# scores (12*8*4096^2*4 = 6.4 GB) RESOURCE_EXHAUSTED next to the K-chain
+# buffers (r5 queue log); the layout comparison is ratio-preserving
 SHAPES = [
-    (12, 4096, 8, 40),
-    (12, 1024, 8, 80),
-    (12, 256, 8, 160),
+    (6, 4096, 8, 40),
+    (6, 1024, 8, 80),
+    (6, 256, 8, 160),
 ]
-K = 8
+K = 6
 DT = jnp.bfloat16
 
 

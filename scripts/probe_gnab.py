@@ -38,7 +38,11 @@ mk = lambda tree: jax.tree_util.tree_map(
 vae = AutoencoderKL(VAEConfig(dtype=jnp.bfloat16))
 vparams = mk(jax.eval_shape(vae.init, key,
                             jnp.zeros((1, 64, 64, 3), jnp.bfloat16)))
-x_vae = jnp.zeros((4, 512, 512, 3), jnp.bfloat16)
+# batch 2 (not the production 4): the naive/flax arm's backward SAVES f32
+# xhat residuals per GroupNorm layer (the custom VJP recomputes instead)
+# and RESOURCE_EXHAUSTED the chip at batch 4 — r5 queue log. The A/B is
+# relative; scale per-image cost x2 when comparing to bench_pipeline.
+x_vae = jnp.zeros((2, 512, 512, 3), jnp.bfloat16)
 nkey = jax.random.PRNGKey(1)
 KV = 6
 
