@@ -87,6 +87,14 @@ class RenderConfig:
     # anyway, so output is preserved up to T_EPS-scale early-stop
     # reassociation; see binning.bin_instances)
     tile_cull: bool = struct.field(pytree_node=False, default=True)
+    # compositor supertile factor: SPT consecutive tiles per kernel pass
+    # over one combined contiguous chunk window — fewer per-tile loop
+    # setups / partial chunks and an SPT-wide lane dim per MXU pass. The
+    # kernel is iteration-overhead-bound (~1.4 us/chunk-iter vs ~0.35 us
+    # of matmul; span-mode A/B ruled out DMA latency). Output equals
+    # spt=1 up to chunk-boundary reassociation at the T_EPS early stop
+    # (tests/test_render_pallas.py). A/B on TPU before flipping
+    spt: int = struct.field(pytree_node=False, default=1)
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
 
@@ -272,7 +280,7 @@ def render(
         data = jnp.pad(data, ((0, 0), (0, 0), (0, epad - e)))
     out = composite_tiles(
         data, binning.starts, binning.counts, tile, cfg.chunk, cfg.interpret,
-        cfg.tri,
+        cfg.tri, cfg.spt,
     )
     rgb, depth, alpha = tiles_to_image(out, nty, ntx, tile, h, w)
     bgc = jnp.asarray(bg_color, jnp.float32)

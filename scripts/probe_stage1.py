@@ -113,7 +113,12 @@ def main():
     cam_cfg = CameraSamplerConfig(height=512, width=512, batch_size=4)
 
     def measure(tag, guidance):
-        ts = S1.init_train_state(gs)
+        # fresh device copy: the jitted step DONATES the TrainState, whose
+        # buffers alias gs — the previous variant's run deleted them
+        gs_c = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if hasattr(x, "ndim") and x.ndim else x,
+            gs)
+        ts = S1.init_train_state(gs_c)
         step_fn = S1.make_train_step(cfg, cam_cfg, RenderConfig(d_max=16),
                                      AdamHyper(), guidance, sk.points3d)
         k = jax.random.PRNGKey(1)

@@ -1,9 +1,9 @@
-"""A/B the remaining gated binning variants at 1024^2/100k on TPU:
-table_gather ("i32" vs "u16", targets the measured 2.2 ms emit row-gather)
-(i32 vs u16 pool-table row gather). Full render
-fwd and fwd+bwd, K-chained timing per NOTES gotcha 1.
+"""A/B gated render variants at 1024^2/100k on TPU: table_gather
+(u16 default vs i32) and the supertile compositor factor (spt 1/2/4 —
+SPT consecutive tiles per combined-window kernel pass). Full render fwd
+and fwd+bwd, K-chained timing per NOTES gotcha 1.
 
-Usage: probe_variants.py [tag ...]   tags from: base u16 sorted u16sorted
+Usage: probe_variants.py [tag ...]   tags from: base i32 spt2 spt4
 """
 import os
 import sys
@@ -47,8 +47,10 @@ bg = jnp.zeros(3)
 K = 3
 
 VARIANTS = {
-    "base": dict(),
-    "u16": dict(table_gather="u16"),
+    "base": dict(),            # production defaults (u16 gather, spt=1)
+    "i32": dict(table_gather="i32"),
+    "spt2": dict(spt=2),
+    "spt4": dict(spt=4),
 }
 
 
