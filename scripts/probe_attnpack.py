@@ -75,8 +75,9 @@ def sdpa_pad64(q, k, v, scale):
     if pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad)))
     o = jax.nn.dot_product_attention(q, k, v, scale=scale)
-    return o
+    return o  # caller slices [..., :d]
 
 
 def sdpa_pack3(q, k, v, scale):
