@@ -32,7 +32,12 @@ from gaussianip_tpu.system.refine import RefineModels, make_refine_step
 GB = 1 << 30
 key = jax.random.PRNGKey(0)
 mk = lambda tree: jax.tree_util.tree_map(
-    lambda sd: jnp.zeros(sd.shape, sd.dtype), tree)
+    # bf16 float params: production load_real_models casts every float
+    # leaf to the compute dtype (pipeline.py), halving resident weights
+    # vs the f32 flax init the driver-facing f32 trees overstated
+    lambda sd: jnp.zeros(sd.shape, jnp.bfloat16
+                         if jnp.issubdtype(sd.dtype, jnp.floating)
+                         else sd.dtype), tree)
 
 ucfg = UNetConfig(lora_rank=128, ip_tokens=4, dtype=jnp.bfloat16)
 unet = UNet2DConditionModel(ucfg)

@@ -61,8 +61,13 @@ def main():
     t0_ = jnp.zeros((1,), jnp.int32)
     ctx0 = jnp.zeros((1, 81, 768), jnp.bfloat16)
     cimg0 = jnp.zeros((1, 64, 64, 3), jnp.bfloat16)
-    mk = lambda shapes: jax.tree_util.tree_map(
-        lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes)
+    mk = lambda tree: jax.tree_util.tree_map(
+        # bf16 float params: production load_real_models casts every float
+        # leaf to the compute dtype (pipeline.py), halving resident weights
+        # vs the f32 flax init the driver-facing f32 trees overstated
+        lambda sd: jnp.zeros(sd.shape, jnp.bfloat16
+                             if jnp.issubdtype(sd.dtype, jnp.floating)
+                             else sd.dtype), tree)
     up = jax.device_put(mk(jax.eval_shape(unet.init, key, lat0, t0_, ctx0)),
                         dev)
     cp = jax.device_put(mk(jax.eval_shape(cn.init, key, lat0, t0_,
