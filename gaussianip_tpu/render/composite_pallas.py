@@ -446,11 +446,11 @@ def _pick_spt(spt: int, tpb: int) -> int:
 
 
 def _fwd_call(data, starts, counts, tile, chunk, interpret, tri="highest",
-              spt=1):
+              spt=1, tpb=0):
     b, _, epad = data.shape
     nt = starts.shape[1]
     p = tile * tile
-    tpb = _pick_tpb(nt)
+    tpb = tpb if (tpb and nt % tpb == 0) else _pick_tpb(nt)
     spt = _pick_spt(spt, tpb)
     featpix = _pixel_features(tile, spt)
     scratch = [
@@ -482,11 +482,11 @@ def _fwd_call(data, starts, counts, tile, chunk, interpret, tri="highest",
 
 
 def _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
-              tri="highest", spt=1):
+              tri="highest", spt=1, tpb=0):
     b, _, epad = data.shape
     nt = starts.shape[1]
     p = tile * tile
-    tpb = _pick_tpb(nt)
+    tpb = tpb if (tpb and nt % tpb == 0) else _pick_tpb(nt)
     spt = _pick_spt(spt, tpb)
     featpix = _pixel_features(tile, spt)
     scratch = [
@@ -530,10 +530,10 @@ def _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
     return dgrad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def composite_tiles(data, starts, counts, tile: int, chunk: int,
                     interpret: bool = False, tri: str = "highest",
-                    spt: int = 1):
+                    spt: int = 1, tpb: int = 0):
     """Composite depth-sorted instance segments into per-tile accumulators.
 
     Args:
@@ -546,22 +546,27 @@ def composite_tiles(data, starts, counts, tile: int, chunk: int,
         pass over one combined contiguous chunk window ([8, SPT*P] MXU
         passes, per-lane-group ownership masks). Output equals spt=1 up to
         chunk-boundary reassociation of the T_EPS early stop.
+      tpb: tiles-per-program override (0 = auto: largest divisor of NT
+        <= 8). Must divide NT; VMEM out block is tpb * 8 * P * 4 B.
     Returns:
       [B, NT, 8, P] accumulators: rows 0-2 rgb, 3 alpha-weighted depth,
       4 accumulated alpha, 5 last-contributor index (internal).
     """
-    return _fwd_call(data, starts, counts, tile, chunk, interpret, tri, spt)
+    return _fwd_call(data, starts, counts, tile, chunk, interpret, tri, spt,
+                     tpb)
 
 
-def _composite_fwd(data, starts, counts, tile, chunk, interpret, tri, spt):
-    out = _fwd_call(data, starts, counts, tile, chunk, interpret, tri, spt)
+def _composite_fwd(data, starts, counts, tile, chunk, interpret, tri, spt,
+                   tpb):
+    out = _fwd_call(data, starts, counts, tile, chunk, interpret, tri, spt,
+                    tpb)
     return out, (data, starts, counts, out)
 
 
-def _composite_bwd(tile, chunk, interpret, tri, spt, res, gout):
+def _composite_bwd(tile, chunk, interpret, tri, spt, tpb, res, gout):
     data, starts, counts, out = res
     dgrad = _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
-                      tri, spt)
+                      tri, spt, tpb)
     return dgrad, None, None
 
 

@@ -95,6 +95,9 @@ class RenderConfig:
     # spt=1 up to chunk-boundary reassociation at the T_EPS early stop
     # (tests/test_render_pallas.py). A/B on TPU before flipping
     spt: int = struct.field(pytree_node=False, default=1)
+    # tiles-per-program override (0 = auto <= 8); with spt=4 a 16-tile
+    # program halves program count — A/B together with spt
+    tpb: int = struct.field(pytree_node=False, default=0)
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
 
@@ -280,7 +283,7 @@ def render(
         data = jnp.pad(data, ((0, 0), (0, 0), (0, epad - e)))
     out = composite_tiles(
         data, binning.starts, binning.counts, tile, cfg.chunk, cfg.interpret,
-        cfg.tri, cfg.spt,
+        cfg.tri, cfg.spt, cfg.tpb,
     )
     rgb, depth, alpha = tiles_to_image(out, nty, ntx, tile, h, w)
     bgc = jnp.asarray(bg_color, jnp.float32)

@@ -51,6 +51,8 @@ VARIANTS = {
     "i32": dict(table_gather="i32"),
     "spt2": dict(spt=2),
     "spt4": dict(spt=4),
+    "spt4t16": dict(spt=4, tpb=16),
+    "spt8t16": dict(spt=8, tpb=16),
 }
 
 
