@@ -254,8 +254,9 @@ def main():
                                          cfg.tile, cfg.d_max)
     bytes_moved = (
         n_live * (10 + 16 + 16 + 16) * 4  # gather + data + dgrad rw (f32)
-        + e_univ * 4 * 3 * 2 * 2          # sort universe (keys+2 vals), r/w,
-        #                                   fwd sort + inv sort
+        + e_univ * 4 * 2 * 2              # sort universe (keys+gid), r/w
+        #                                   (the r5 deletion dropped the
+        #                                   emission payload + inverse sort)
         + 4096 * 8 * 256 * 4 * 3          # tile accumulators out+bwd reads
     )
     hbm_gbs = bytes_moved / t_fb / 1e9
