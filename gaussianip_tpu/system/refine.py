@@ -225,11 +225,15 @@ def refine_views(
     # cap materialized attention scores while the VCR caches are resident:
     # at the refine's CFG batch 8 the 64^2-level self-attention would
     # otherwise materialize 4.3 GB of f32 scores per layer next to ~2.6 GB
-    # of caches + 2.8 GB weights and RESOURCE_EXHAUST the 16 GB chip
-    # (read at trace time in blocks._attend; restored on exit)
+    # of caches and RESOURCE_EXHAUST the 16 GB chip (probe_refinemem:
+    # phase temp 8.6 GB at the old 7e9 threshold vs 4.7 GB at 2e9). Read
+    # at trace time in blocks._attend; restored on exit. A caller-set
+    # GIP_ATTN_SCORE_BYTES wins (bf16 frozen params free ~2.5 GB and can
+    # afford a higher budget — A/B before changing the default).
     import os as _os
     _prev_budget = _os.environ.get("GIP_ATTN_SCORE_BYTES")
-    _os.environ["GIP_ATTN_SCORE_BYTES"] = "2e9"
+    if _prev_budget is None:
+        _os.environ["GIP_ATTN_SCORE_BYTES"] = "2e9"
     try:
         return _refine_views_inner(
             models, images, control_images, contexts, key, ddim, num_steps,

@@ -210,11 +210,14 @@ def main():
         results["projected_v5e8_min"] = round(proj_min, 1)
         results["projected_v5e8_assumptions"] = "s1/3.6 s2/5 s3/3.5"
     print(json.dumps(results))
-    try:
-        with open("PIPELINE_BENCH.json", "w") as f:
-            json.dump(results, f, indent=1)
-    except Exception:
-        pass
+    # partial runs (e.g. a stage-2-only A/B) must not clobber the full
+    # 3-stage artifact the judge reads
+    if all(s in which for s in "123"):
+        try:
+            with open("PIPELINE_BENCH.json", "w") as f:
+                json.dump(results, f, indent=1)
+        except Exception:
+            pass
 
 
 if __name__ == "__main__":
