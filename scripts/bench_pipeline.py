@@ -96,6 +96,14 @@ def main():
                          1 << 17, mean_dist2_3nn(jnp.asarray(pts)))
     gs = jax.device_put(gs, dev)
 
+    def gs_copy():
+        # fresh device buffers per stage: the stage-1/3 jitted steps DONATE
+        # their TrainState, whose arrays alias gs — a later stage's
+        # init_train_state(gs) would touch deleted buffers
+        return jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if hasattr(x, "ndim") and x.ndim else x,
+            gs)
+
     # ---- stage 1 ----
     if "1" in which:
         models = GuidanceModels(unet, up, cn, cp, vae, vp)
@@ -105,7 +113,7 @@ def main():
                           null=jnp.zeros((1, 4, 768)),
                           neg=jnp.zeros((1, 4, 768)))
         guidance = AHDSGuidance(models, pe, img, GuidanceConfig())
-        ts = init_train_state(gs)
+        ts = init_train_state(gs_copy())
         cfg = Stage1Config()
         cam_cfg = CameraSamplerConfig(height=512, width=512, batch_size=4)
         step_fn = make_train_step(cfg, cam_cfg, RenderConfig(d_max=16),
@@ -179,7 +187,7 @@ def main():
                         .astype(np.float32)), dev)
         s3 = Stage3Config(height=1024, width=1024,
                           refine_start_step=2400, max_steps=800)
-        ts3 = init_train_state(gs)
+        ts3 = init_train_state(gs_copy())
         t0 = time.time()
         ts3 = train_stage3(ts3, s3, RenderConfig(), AdamHyper(), orbit,
                            refined_small, jax.random.PRNGKey(11),

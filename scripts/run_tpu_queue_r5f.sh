@@ -1,12 +1,15 @@
 #!/bin/bash
-# Round-5 queue, part 6: stage-2 attention-budget A/B (bf16 frozen params
-# free ~2.5 GB; a 5e9 score budget un-chunks the 64^2 self-attention —
-# probe_refinemem says it fits), then end-of-round cache warm for the
-# driver's bench run.
+# Round-5 queue, part 6: full-pipeline rerun (gs donation fix + bf16
+# frozen params = the production load regime), the stage-2 attention-
+# budget A/B (bf16 params free ~2.5 GB; 5e9 un-chunks the 64^2 self-
+# attention), then the end-of-round cache warm for the driver bench.
 cd "$(dirname "$0")/.."
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a /tmp/tpu_queue5.log; }
 
 log "queue r5f start"
+
+timeout 5400 python scripts/bench_pipeline.py > /tmp/q5_pipeline3.log 2>&1
+log "bench_pipeline exit=$? | $(grep 'stage\|pipeline' /tmp/q5_pipeline3.log | tr '\n' ' ' | tail -c 500)"
 
 GIP_ATTN_SCORE_BYTES=5e9 timeout 3600 python scripts/bench_pipeline.py 2 \
     > /tmp/q5_stage2b.log 2>&1
