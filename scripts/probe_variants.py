@@ -53,6 +53,8 @@ VARIANTS = {
     "spt4": dict(spt=4),
     "spt4t16": dict(spt=4, tpb=16),
     "spt8t16": dict(spt=8, tpb=16),
+    "sortvjp": dict(gather_vjp="sort"),
+    "sortspt2": dict(gather_vjp="sort", spt=2),
 }
 
 
