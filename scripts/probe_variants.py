@@ -47,14 +47,9 @@ bg = jnp.zeros(3)
 K = 3
 
 VARIANTS = {
-    "base": dict(),            # production defaults (u16 gather, spt=1)
-    "i32": dict(table_gather="i32"),
-    "spt2": dict(spt=2),
-    "spt4": dict(spt=4),
-    "spt4t16": dict(spt=4, tpb=16),
-    "spt8t16": dict(spt=8, tpb=16),
+    "base": dict(),            # production defaults (u16 gather)
     "sortvjp": dict(gather_vjp="sort"),
-    "sortspt2": dict(gather_vjp="sort", spt=2),
+    "t16": dict(tpb=16),
 }
 
 
