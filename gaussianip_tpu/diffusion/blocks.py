@@ -179,25 +179,6 @@ def _attend_chunked(q, k, v, q_chunk: int = 0, kv_chunk: int = 0):
     return out.astype(q.dtype)
 
 
-def _attend_dT(qh, kh, vh):
-    """SDPA with the head dim on the SUBLANE contraction position: SD1.5
-    head dims (40/80/160) pad to 128 lanes and waste up to ~69% of the
-    QK^T/PV contraction MXU work; contracting over a sublane d instead
-    ("bhdq,bhdk->bhqk", then "bhqk,bhdk->bhdq") keeps the 128-lane axis on
-    the sequence dims, which are multiples of 256. Bit-compatible with the
-    base path up to matmul reassociation (tests/test_blocks.py)."""
-    scale = 1.0 / (qh.shape[-1] ** 0.5)
-    qt = qh.transpose(0, 2, 3, 1)
-    kt = kh.transpose(0, 2, 3, 1)
-    vt = vh.transpose(0, 2, 3, 1)
-    s = jnp.einsum("bhdq,bhdk->bhqk", qt, kt,
-                   preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhqk,bhdk->bhdq", p.astype(vh.dtype), vt,
-                   preferred_element_type=jnp.float32)
-    return o.astype(qh.dtype).transpose(0, 3, 1, 2)
-
-
 def _attend(q, k, v, heads: int):
     """[B, S, D] multi-head SDPA (jax.nn expects [B, S, H, Dh])."""
     b, sq, d = q.shape
@@ -214,10 +195,11 @@ def _attend(q, k, v, heads: int):
                                    _CHUNKED_SCORE_BYTES))
     if b * heads * sq * sk * 4 > budget:
         o = _attend_chunked(qh, kh, vh)
-    elif _os.environ.get("GIP_ATTN_LAYOUT", "base") == "dT":
-        # read at TRACE time so A/B harnesses flip it between jit calls
-        o = _attend_dT(qh, kh, vh)
     else:
+        # base XLA SDPA: every re-layout aimed at the head_dim-40 lane
+        # padding MEASURED WORSE (r5 probe_attnpack @ B6 S4096 H8 d40:
+        # base 7.39 ms, einsum 7.43, sublane-d 7.72, pack3 8.40,
+        # pad64 22.75) — the padded contraction is already optimal
         o = jax.nn.dot_product_attention(qh, kh, vh)
     return o.reshape(b, sq, d)
 

@@ -62,47 +62,32 @@ ALPHA_MAX = 0.99
 T_EPS = 1e-4
 
 
-def _pixel_features(tile: int, spt: int = 1):
-    """[8, SPT * P] rows: 1, x, y, x^2, xy, y^2, 0, 0 (tile-local pixel
-    coords, p = y * tile + x; instance coefficients are built relative to
-    the instance's OWN tile origin, so every supertile lane group shares
-    the same local grid — the features just tile SPT times)."""
+def _pixel_features(tile: int):
+    """[8, P] rows: 1, x, y, x^2, xy, y^2, 0, 0 (tile-local pixel coords,
+    p = y * tile + x)."""
     p = tile * tile
     idx = jnp.arange(p, dtype=jnp.float32)
     x = idx % tile
     y = idx // tile
     rows = [jnp.ones((p,), jnp.float32), x, y, x * x, x * y, y * y,
             jnp.zeros((p,), jnp.float32), jnp.zeros((p,), jnp.float32)]
-    f = jnp.stack(rows, axis=0)
-    return jnp.tile(f, (1, spt)) if spt > 1 else f
+    return jnp.stack(rows, axis=0)
 
 
-def _sub_bounds(starts_ref, counts_ref, b, t0, spt: int, chunk: int, p: int):
-    """Combined chunk window of SPT consecutive tiles' segments.
-
-    Segments tile the live prefix contiguously in tile order
-    (binning.bounds: starts[t+1] == starts[t] + counts[t]), so SPT
-    consecutive tiles cover ONE contiguous instance range. Returns
-    (base, head, total, nchunks, lo_vec, hi_vec): base the chunk-aligned
-    window start, head/total window-relative combined bounds, and
-    [1, SPT*P] per-lane ownership bounds (lane group s owns rows in
-    [lo_s, hi_s))."""
-    start0 = starts_ref[b, t0]
-    base = (start0 // chunk) * chunk
-    grp = jax.lax.broadcasted_iota(jnp.int32, (1, spt * p), 1) // p
-    lo_vec = jnp.zeros((1, spt * p), jnp.int32)
-    hi_vec = jnp.zeros((1, spt * p), jnp.int32)
-    hi_last = start0 - base
-    for s in range(spt):
-        lo_s = starts_ref[b, t0 + s] - base
-        hi_s = lo_s + counts_ref[b, t0 + s]
-        lo_vec = jnp.where(grp == s, lo_s, lo_vec)
-        hi_vec = jnp.where(grp == s, hi_s, hi_vec)
-        hi_last = hi_s
-    head = start0 - base
-    total = hi_last
-    nchunks = jnp.where(total > head, (total + chunk - 1) // chunk, 0)
-    return base, head, total, nchunks, lo_vec, hi_vec
+def _seg_bounds(starts_ref, counts_ref, b, t, chunk: int):
+    """One tile's chunk window: (base, head, total, nchunks). A supertile
+    variant (SPT tiles per combined window) was built and MEASURED WORSE
+    in r5 (spt2 24.8 / spt4 32.9 vs 21.0 ms fwd+bwd at 1024^2/100k):
+    combined windows keep the same total chunk count (segments sum) while
+    every pass does SPT x wider elementwise work — the kernel is VPU-
+    element-bound, not loop-overhead-bound. Deleted; see NOTES r5."""
+    start = starts_ref[b, t]
+    count = counts_ref[b, t]
+    base = (start // chunk) * chunk
+    head = start - base
+    total = head + count
+    nchunks = jnp.where(count > 0, (total + chunk - 1) // chunk, 0)
+    return base, head, total, nchunks
 
 
 def _tri(c: int, strict: bool, upper: bool):
@@ -144,9 +129,8 @@ def _chunk_alphas(coeff_chunk_t, featpix, lo, hi, ci, chunk):
     """Shared fwd/bwd math: (raw, alpha, log_om) for one chunk.
 
     coeff_chunk_t is the transposed [8, C] coefficient block; live rows are
-    window indices in [lo, hi). lo/hi are [1, SPT*P] per-lane ownership
-    bounds (each supertile lane group admits only its own tile's segment
-    rows; SPT=1 degenerates to the scalar head/total compare)."""
+    window indices in [lo, hi) (lo = head offset of the unaligned
+    segment)."""
     c = chunk
     p = featpix.shape[1]
     power = _dot(coeff_chunk_t, featpix, ((0,), (0,)))  # [C, P]
@@ -170,14 +154,13 @@ def _data_copy(data_hbm, buf, sems, b, base, ci, slot, chunk):
 
 def _fwd_tile_stream(starts_ref, counts_ref, data_hbm, featpix, tri_ex,
                      out_ref, buf, sems, b, t, tl, *, chunk: int, tile: int,
-                     tri_split: bool, spt: int = 1):
-    """One pass's forward compositing (SPT consecutive tiles share a
-    combined contiguous chunk window) with per-chunk double-buffered
+                     tri_split: bool):
+    """One tile's forward compositing with per-chunk double-buffered
     streaming DMAs."""
     p = tile * tile
     log_eps = jnp.float32(-9.22)  # log(1e-4)
-    base, head, total, nchunks, lo_vec, hi_vec = _sub_bounds(
-        starts_ref, counts_ref, b, t, spt, chunk, p)
+    base, head, total, nchunks = _seg_bounds(
+        starts_ref, counts_ref, b, t, chunk)
 
     @pl.when(nchunks > 0)
     def _():
@@ -199,7 +182,7 @@ def _fwd_tile_stream(starts_ref, counts_ref, data_hbm, featpix, tri_ex,
         _data_copy(data_hbm, buf, sems, b, base, ci, slot, chunk).wait()
         coeff = buf[slot, 0:8]
         feat = buf[slot, 8:16]
-        raw, alpha, log_om = _chunk_alphas(coeff, featpix, lo_vec, hi_vec,
+        raw, alpha, log_om = _chunk_alphas(coeff, featpix, head, total,
                                            ci, chunk)
         # exclusive cumulative log-transmittance via MXU tri matmul
         cum_ex = _dot_tri(tri_ex, log_om, ((1,), (0,)), tri_split)
@@ -207,12 +190,9 @@ def _fwd_tile_stream(starts_ref, counts_ref, data_hbm, featpix, tri_ex,
         t_incl = t_excl * (1.0 - alpha)
         contrib = (t_incl >= T_EPS) & (alpha > 0.0)
         w = jnp.where(contrib, alpha * t_excl, 0.0)
-        acc = _dot(feat, w, ((1,), (0,)))  # [8, SPT*P]
-        for s in range(spt):
-            out_ref[0, tl + s] += jax.lax.slice(
-                acc, (0, s * p), (8, (s + 1) * p))
+        out_ref[0, tl] += _dot(feat, w, ((1,), (0,)))
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, spt * p), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, p), 0)
         idxf = (rows + ci * chunk).astype(jnp.float32)
         last = jnp.maximum(
             last,
@@ -225,8 +205,8 @@ def _fwd_tile_stream(starts_ref, counts_ref, data_hbm, featpix, tri_ex,
     ci_x, _, last = jax.lax.while_loop(
         cond,
         body,
-        (jnp.int32(0), jnp.zeros((1, spt * p), jnp.float32),
-         jnp.full((1, spt * p), -1.0, jnp.float32)),
+        (jnp.int32(0), jnp.zeros((1, p), jnp.float32),
+         jnp.full((1, p), -1.0, jnp.float32)),
     )
     # early exit leaves the prefetched chunk ci_x in flight: drain it so
     # the semaphore is clean for the next tile / program instance
@@ -235,9 +215,7 @@ def _fwd_tile_stream(starts_ref, counts_ref, data_hbm, featpix, tri_ex,
         _data_copy(data_hbm, buf, sems, b, base, ci_x, ci_x % 2,
                    chunk).wait()
 
-    for s in range(spt):
-        out_ref[0, tl + s, 5:6, :] = jax.lax.slice(
-            last, (0, s * p), (1, (s + 1) * p))
+    out_ref[0, tl, 5:6, :] = last
 
 
 def _fwd_kernel(
@@ -246,7 +224,6 @@ def _fwd_kernel(
     out_ref,  # output block (1, TPB, 8, P)
     buf, sems,  # scratch: [2, 16, CHUNK] double buffer
     *, chunk: int, tile: int, tpb: int, tri_split: bool = False,
-    spt: int = 1,
 ):
     b = pl.program_id(0)
     tg = pl.program_id(1)
@@ -257,16 +234,13 @@ def _fwd_kernel(
 
     # TPB consecutive tiles per program: the grid-dispatch overhead at
     # grid=NT (~1 us/program x 4096) dominated the whole kernel — see
-    # scripts/probe_vjpab.py / NOTES r3. SPT tiles share each pass (their
-    # segments are contiguous): fewer loop setups + partial chunks, and a
-    # 4x-wider lane dim per MXU pass
-    for tl in range(0, tpb, spt):
+    # scripts/probe_vjpab.py / NOTES r3
+    for tl in range(tpb):
         t = tg * tpb + tl
-        for s in range(spt):
-            out_ref[0, tl + s] = jnp.zeros((8, p), jnp.float32)
+        out_ref[0, tl] = jnp.zeros((8, p), jnp.float32)
         _fwd_tile_stream(starts_ref, counts_ref, data_hbm, featpix, tri_ex,
                          out_ref, buf, sems, b, t, tl, chunk=chunk, tile=tile,
-                         tri_split=tri_split, spt=spt)
+                         tri_split=tri_split)
 
 
 def _bwd_kernel(
@@ -275,7 +249,6 @@ def _bwd_kernel(
     dgrad_hbm,
     buf, dbuf, rmw_buf, sems, wsem, rsem,
     *, chunk: int, tile: int, tpb: int, tri_split: bool = False,
-    spt: int = 1,
 ):
     del dgrad_init_hbm  # aliased to dgrad_hbm (pre-zeroed); never read
     b = pl.program_id(0)
@@ -287,25 +260,16 @@ def _bwd_kernel(
     tri_ex_up = _tri(chunk, strict=True, upper=True)  # exclusive suffix sums
 
     # TPB consecutive tiles per program (grid-dispatch overhead — see
-    # _fwd_kernel); SPT tiles share each pass's combined window. Writes are
-    # drained before each pass ends, so the sequential-RMW boundary
-    # argument is unchanged pass-to-pass.
-    for tl in range(0, tpb, spt):
+    # _fwd_kernel). Writes are drained before each tile ends, so the
+    # sequential-RMW boundary argument is unchanged tile-to-tile.
+    for tl in range(tpb):
         t = tg * tpb + tl
-        base, head, total, nchunks_all, lo_vec, hi_vec = _sub_bounds(
-            starts_ref, counts_ref, b, t, spt, chunk, p)
+        base, head, total, nchunks_all = _seg_bounds(
+            starts_ref, counts_ref, b, t, chunk)
 
-        if spt == 1:
-            gout = gout_ref[0, tl]  # [8, P]
-            alpha_out = out_ref[0, tl, 4:5, :]
-            last = out_ref[0, tl, 5:6, :]
-        else:
-            gout = jnp.concatenate(
-                [gout_ref[0, tl + s] for s in range(spt)], axis=1)
-            alpha_out = jnp.concatenate(
-                [out_ref[0, tl + s, 4:5, :] for s in range(spt)], axis=1)
-            last = jnp.concatenate(
-                [out_ref[0, tl + s, 5:6, :] for s in range(spt)], axis=1)
+        gout = gout_ref[0, tl]  # [8, P]
+        alpha_out = out_ref[0, tl, 4:5, :]
+        last = out_ref[0, tl, 5:6, :]
         # only chunks up to the last contributor carry gradient
         max_last = jnp.max(last).astype(jnp.int32)
         nchunks = jnp.minimum(
@@ -379,9 +343,9 @@ def _bwd_kernel(
                        chunk).wait()
             coeff = buf[slot, 0:8]
             feat = buf[slot, 8:16]
-            raw, alpha, log_om = _chunk_alphas(coeff, featpix, lo_vec,
-                                               hi_vec, ci, chunk)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, spt * p), 0)
+            raw, alpha, log_om = _chunk_alphas(coeff, featpix, head, total,
+                                               ci, chunk)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, p), 0)
             idxf = (rows + ci * chunk).astype(jnp.float32)
             contrib = (alpha > 0.0) & (idxf <= last)
             lom = jnp.where(contrib, log_om, 0.0)
@@ -412,8 +376,8 @@ def _bwd_kernel(
             0,
             nchunks,
             body,
-            (jnp.zeros((1, spt * p), jnp.float32),
-             jnp.zeros((1, spt * p), jnp.float32)),
+            (jnp.zeros((1, p), jnp.float32),
+             jnp.zeros((1, p), jnp.float32)),
         )
 
         # drain the (at most one per slot) in-flight writes; chunks past the
@@ -438,21 +402,13 @@ def _pick_tpb(nt: int) -> int:
     return 1
 
 
-def _pick_spt(spt: int, tpb: int) -> int:
-    # the supertile factor must divide the tiles-per-program count
-    while spt > 1 and tpb % spt:
-        spt //= 2
-    return max(spt, 1)
-
-
 def _fwd_call(data, starts, counts, tile, chunk, interpret, tri="highest",
-              spt=1, tpb=0):
+              tpb=0):
     b, _, epad = data.shape
     nt = starts.shape[1]
     p = tile * tile
     tpb = tpb if (tpb and nt % tpb == 0) else _pick_tpb(nt)
-    spt = _pick_spt(spt, tpb)
-    featpix = _pixel_features(tile, spt)
+    featpix = _pixel_features(tile)
     scratch = [
         pltpu.VMEM((2, 16, chunk), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
@@ -463,7 +419,7 @@ def _fwd_call(data, starts, counts, tile, chunk, interpret, tri="highest",
         grid=(b, nt // tpb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((8, spt * p), lambda bb, tt, sb, st: (0, 0),
+            pl.BlockSpec((8, p), lambda bb, tt, sb, st: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tpb, 8, p),
@@ -473,7 +429,7 @@ def _fwd_call(data, starts, counts, tile, chunk, interpret, tri="highest",
     )
     out = pl.pallas_call(
         functools.partial(kern, chunk=chunk, tile=tile, tpb=tpb,
-                          tri_split=(tri == "split2"), spt=spt),
+                          tri_split=(tri == "split2")),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nt, 8, p), jnp.float32),
         interpret=interpret,
@@ -482,13 +438,12 @@ def _fwd_call(data, starts, counts, tile, chunk, interpret, tri="highest",
 
 
 def _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
-              tri="highest", spt=1, tpb=0):
+              tri="highest", tpb=0):
     b, _, epad = data.shape
     nt = starts.shape[1]
     p = tile * tile
     tpb = tpb if (tpb and nt % tpb == 0) else _pick_tpb(nt)
-    spt = _pick_spt(spt, tpb)
-    featpix = _pixel_features(tile, spt)
+    featpix = _pixel_features(tile)
     scratch = [
         pltpu.VMEM((2, 16, chunk), jnp.float32),
         pltpu.VMEM((2, 16, chunk), jnp.float32),
@@ -499,13 +454,13 @@ def _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
     ]
     kern = functools.partial(
         _bwd_kernel, chunk=chunk, tile=tile, tpb=tpb,
-        tri_split=(tri == "split2"), spt=spt)
+        tri_split=(tri == "split2"))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, nt // tpb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((8, spt * p), lambda bb, tt, sb, st: (0, 0),
+            pl.BlockSpec((8, p), lambda bb, tt, sb, st: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tpb, 8, p),
                          lambda bb, tt, sb, st: (bb, tt, 0, 0),
@@ -530,10 +485,10 @@ def _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
     return dgrad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def composite_tiles(data, starts, counts, tile: int, chunk: int,
                     interpret: bool = False, tri: str = "highest",
-                    spt: int = 1, tpb: int = 0):
+                    tpb: int = 0):
     """Composite depth-sorted instance segments into per-tile accumulators.
 
     Args:
@@ -542,31 +497,24 @@ def composite_tiles(data, starts, counts, tile: int, chunk: int,
         features [r, g, b, depth, 1, 0, 0, 0]. EPAD must leave >= 2*chunk
         slack beyond the last live instance (window rounding).
       starts/counts: [B, NT] int32 UNALIGNED segment layout from binning.
-      spt: supertile factor — SPT consecutive tiles composite per kernel
-        pass over one combined contiguous chunk window ([8, SPT*P] MXU
-        passes, per-lane-group ownership masks). Output equals spt=1 up to
-        chunk-boundary reassociation of the T_EPS early stop.
       tpb: tiles-per-program override (0 = auto: largest divisor of NT
         <= 8). Must divide NT; VMEM out block is tpb * 8 * P * 4 B.
     Returns:
       [B, NT, 8, P] accumulators: rows 0-2 rgb, 3 alpha-weighted depth,
       4 accumulated alpha, 5 last-contributor index (internal).
     """
-    return _fwd_call(data, starts, counts, tile, chunk, interpret, tri, spt,
-                     tpb)
+    return _fwd_call(data, starts, counts, tile, chunk, interpret, tri, tpb)
 
 
-def _composite_fwd(data, starts, counts, tile, chunk, interpret, tri, spt,
-                   tpb):
-    out = _fwd_call(data, starts, counts, tile, chunk, interpret, tri, spt,
-                    tpb)
+def _composite_fwd(data, starts, counts, tile, chunk, interpret, tri, tpb):
+    out = _fwd_call(data, starts, counts, tile, chunk, interpret, tri, tpb)
     return out, (data, starts, counts, out)
 
 
-def _composite_bwd(tile, chunk, interpret, tri, spt, tpb, res, gout):
+def _composite_bwd(tile, chunk, interpret, tri, tpb, res, gout):
     data, starts, counts, out = res
     dgrad = _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
-                      tri, spt, tpb)
+                      tri, tpb)
     return dgrad, None, None
 
 

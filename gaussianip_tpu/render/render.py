@@ -88,16 +88,11 @@ class RenderConfig:
     # anyway, so output is preserved up to T_EPS-scale early-stop
     # reassociation; see binning.bin_instances)
     tile_cull: bool = struct.field(pytree_node=False, default=True)
-    # compositor supertile factor: SPT consecutive tiles per kernel pass
-    # over one combined contiguous chunk window — fewer per-tile loop
-    # setups / partial chunks and an SPT-wide lane dim per MXU pass. The
-    # kernel is iteration-overhead-bound (~1.4 us/chunk-iter vs ~0.35 us
-    # of matmul; span-mode A/B ruled out DMA latency). Output equals
-    # spt=1 up to chunk-boundary reassociation at the T_EPS early stop
-    # (tests/test_render_pallas.py). A/B on TPU before flipping
-    spt: int = struct.field(pytree_node=False, default=1)
-    # tiles-per-program override (0 = auto <= 8); with spt=4 a 16-tile
-    # program halves program count — A/B together with spt
+    # tiles-per-program override (0 = auto <= 8). (A supertile compositor
+    # — SPT tiles per combined-window pass — was built and measured WORSE
+    # in r5: spt2 24.8 / spt4 32.9 vs 21.0 ms f+b; combined windows keep
+    # the same chunk count while each pass does SPT x wider elementwise
+    # work. Deleted; composite_pallas._seg_bounds docstring + NOTES r5.)
     tpb: int = struct.field(pytree_node=False, default=0)
     # attribute-gather VJP: "scatter" (XLA scatter-add; ~7 ms of the
     # 23.9 ms fwd+bwd at 1024^2/100k, r5 probe_cut) or "sort" (backward-
@@ -344,7 +339,7 @@ def render(
         data = jnp.pad(data, ((0, 0), (0, 0), (0, epad - e)))
     out = composite_tiles(
         data, binning.starts, binning.counts, tile, cfg.chunk, cfg.interpret,
-        cfg.tri, cfg.spt, cfg.tpb,
+        cfg.tri, cfg.tpb,
     )
     rgb, depth, alpha = tiles_to_image(out, nty, ntx, tile, h, w)
     bgc = jnp.asarray(bg_color, jnp.float32)

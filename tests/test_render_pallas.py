@@ -282,66 +282,6 @@ def test_tile_cull_output_preserving(rng):
         assert d_on <= d_off * 1.5 + 1e-4, (f, d_on, d_off)
 
 
-@pytest.mark.parametrize("spt", [2, 4])
-def test_supertile_matches_base(rng, spt):
-    # SPT consecutive tiles composite per kernel pass over one combined
-    # contiguous chunk window — same math with reassociated chunk
-    # boundaries, so outputs/grads match to early-stop (T_EPS) tolerance
-    state = make_scene(rng)
-    cams = make_cameras(2, 40, 56)  # ntx=4 -> nt=12, tpb=4: spt=4 clamps
-    bg = jnp.array([0.0, 0.1, 0.2])
-    base = dict(backend="pallas", interpret=True, tile=16, chunk=128,
-                d_max=16)
-    a = render(state, cams, bg, RenderConfig(**base))
-    b = render(state, cams, bg, RenderConfig(**base, spt=spt))
-    np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
-                               rtol=0, atol=5e-4)
-    np.testing.assert_allclose(np.asarray(a.alpha), np.asarray(b.alpha),
-                               rtol=0, atol=5e-4)
-    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
-                               rtol=0, atol=2e-3)
-
-    def loss(st, s):
-        out = render(st, cams, bg, RenderConfig(**base, spt=s))
-        return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha)
-
-    ga = jax.grad(loss, allow_int=True)(state, 1)
-    gb = jax.grad(loss, allow_int=True)(state, spt)
-    for f in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
-        x = np.asarray(getattr(ga, f))
-        y = np.asarray(getattr(gb, f))
-        tol = max(1e-3 * np.abs(x).max(), 1e-4)
-        assert np.abs(x - y).max() < tol, \
-            f"supertile grad mismatch: {f} ({np.abs(x - y).max():.3e})"
-
-
-def test_supertile_small_chunk_boundaries(rng):
-    # chunk=128 with big footprints: passes span several chunks and the
-    # combined-window boundary RMW logic is exercised across passes
-    state = make_scene(rng, n=300, capacity=512)
-    state = state.replace(scaling=state.scaling + 0.6)
-    cams = make_cameras(1, 64, 64)
-    bg = jnp.array([0.3, 0.3, 0.3])
-    base = dict(backend="pallas", interpret=True, tile=16, chunk=128,
-                d_max=16)
-    a = render(state, cams, bg, RenderConfig(**base))
-    b = render(state, cams, bg, RenderConfig(**base, spt=2))
-    np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
-                               rtol=0, atol=5e-4)
-
-    def loss(st, s):
-        out = render(st, cams, bg, RenderConfig(**base, spt=s))
-        return jnp.sum(out.rgb ** 2) + 0.3 * jnp.sum(out.depth)
-
-    ga = jax.grad(loss, allow_int=True)(state, 1)
-    gb = jax.grad(loss, allow_int=True)(state, 2)
-    for f in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
-        x = np.asarray(getattr(ga, f))
-        y = np.asarray(getattr(gb, f))
-        tol = max(1e-3 * np.abs(x).max(), 1e-4)
-        assert np.abs(x - y).max() < tol, (f, np.abs(x - y).max())
-
-
 def test_gather_vjp_sort_matches_scatter(rng):
     # the backward-only sort reduction must reproduce the scatter-add
     # VJP's per-gaussian gradients (not bitwise: cumsum-difference
