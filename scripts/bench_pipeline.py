@@ -101,7 +101,7 @@ def main():
         # their TrainState, whose arrays alias gs — a later stage's
         # init_train_state(gs) would touch deleted buffers
         return jax.tree_util.tree_map(
-            lambda x: jnp.copy(x) if hasattr(x, "ndim") and x.ndim else x,
+            lambda x: jnp.copy(x) if hasattr(x, "ndim") else x,  # incl 0-d
             gs)
 
     # ---- stage 1 ----

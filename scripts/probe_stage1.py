@@ -121,7 +121,7 @@ def main():
         # fresh device copy: the jitted step DONATES the TrainState, whose
         # buffers alias gs — the previous variant's run deleted them
         gs_c = jax.tree_util.tree_map(
-            lambda x: jnp.copy(x) if hasattr(x, "ndim") and x.ndim else x,
+            lambda x: jnp.copy(x) if hasattr(x, "ndim") else x,  # incl 0-d
             gs)
         ts = S1.init_train_state(gs_c)
         step_fn = S1.make_train_step(cfg, cam_cfg, RenderConfig(d_max=16),
