@@ -402,12 +402,11 @@ def _pick_tpb(nt: int) -> int:
     return 1
 
 
-def _fwd_call(data, starts, counts, tile, chunk, interpret, tri="highest",
-              tpb=0):
+def _fwd_call(data, starts, counts, tile, chunk, interpret, tri="highest"):
     b, _, epad = data.shape
     nt = starts.shape[1]
     p = tile * tile
-    tpb = tpb if (tpb and nt % tpb == 0) else _pick_tpb(nt)
+    tpb = _pick_tpb(nt)
     featpix = _pixel_features(tile)
     scratch = [
         pltpu.VMEM((2, 16, chunk), jnp.float32),
@@ -438,11 +437,11 @@ def _fwd_call(data, starts, counts, tile, chunk, interpret, tri="highest",
 
 
 def _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
-              tri="highest", tpb=0):
+              tri="highest"):
     b, _, epad = data.shape
     nt = starts.shape[1]
     p = tile * tile
-    tpb = tpb if (tpb and nt % tpb == 0) else _pick_tpb(nt)
+    tpb = _pick_tpb(nt)
     featpix = _pixel_features(tile)
     scratch = [
         pltpu.VMEM((2, 16, chunk), jnp.float32),
@@ -485,10 +484,9 @@ def _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
     return dgrad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def composite_tiles(data, starts, counts, tile: int, chunk: int,
-                    interpret: bool = False, tri: str = "highest",
-                    tpb: int = 0):
+                    interpret: bool = False, tri: str = "highest"):
     """Composite depth-sorted instance segments into per-tile accumulators.
 
     Args:
@@ -497,24 +495,22 @@ def composite_tiles(data, starts, counts, tile: int, chunk: int,
         features [r, g, b, depth, 1, 0, 0, 0]. EPAD must leave >= 2*chunk
         slack beyond the last live instance (window rounding).
       starts/counts: [B, NT] int32 UNALIGNED segment layout from binning.
-      tpb: tiles-per-program override (0 = auto: largest divisor of NT
-        <= 8). Must divide NT; VMEM out block is tpb * 8 * P * 4 B.
     Returns:
       [B, NT, 8, P] accumulators: rows 0-2 rgb, 3 alpha-weighted depth,
       4 accumulated alpha, 5 last-contributor index (internal).
     """
-    return _fwd_call(data, starts, counts, tile, chunk, interpret, tri, tpb)
+    return _fwd_call(data, starts, counts, tile, chunk, interpret, tri)
 
 
-def _composite_fwd(data, starts, counts, tile, chunk, interpret, tri, tpb):
-    out = _fwd_call(data, starts, counts, tile, chunk, interpret, tri, tpb)
+def _composite_fwd(data, starts, counts, tile, chunk, interpret, tri):
+    out = _fwd_call(data, starts, counts, tile, chunk, interpret, tri)
     return out, (data, starts, counts, out)
 
 
-def _composite_bwd(tile, chunk, interpret, tri, tpb, res, gout):
+def _composite_bwd(tile, chunk, interpret, tri, res, gout):
     data, starts, counts, out = res
     dgrad = _bwd_call(data, starts, counts, out, gout, tile, chunk, interpret,
-                      tri, tpb)
+                      tri)
     return dgrad, None, None
 
 

@@ -18,7 +18,6 @@ end-to-end and was removed — scripts/probe_vjpcut.py, r4).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -88,18 +87,13 @@ class RenderConfig:
     # anyway, so output is preserved up to T_EPS-scale early-stop
     # reassociation; see binning.bin_instances)
     tile_cull: bool = struct.field(pytree_node=False, default=True)
-    # tiles-per-program override (0 = auto <= 8). (A supertile compositor
-    # — SPT tiles per combined-window pass — was built and measured WORSE
-    # in r5: spt2 24.8 / spt4 32.9 vs 21.0 ms f+b; combined windows keep
-    # the same chunk count while each pass does SPT x wider elementwise
-    # work. Deleted; composite_pallas._seg_bounds docstring + NOTES r5.)
-    tpb: int = struct.field(pytree_node=False, default=0)
-    # attribute-gather VJP: "scatter" (XLA scatter-add; ~7 ms of the
-    # 23.9 ms fwd+bwd at 1024^2/100k, r5 probe_cut) or "sort" (backward-
-    # only argsort-by-gid + u16 row gather + cumsum-difference segment
-    # reduction — costs the forward NOTHING, unlike the retired r4
-    # emission path). A/B on TPU before flipping
-    gather_vjp: str = struct.field(pytree_node=False, default="scatter")
+    # (r5 deleted losers, all TPU-measured at 1024^2/100k fwd+bwd vs the
+    # ~21-22 ms base: supertile compositor spt2/4 24.8/32.9 — combined
+    # windows keep the chunk count but widen every elementwise pass;
+    # tpb=16 23.5; gather_vjp="sort" (backward-only argsort + cumsum
+    # segment reduction) 35.9 — XLA's scatter-add VJP wins in context
+    # even though probe_cut attributes ~7 ms to it; the dT/pad64/pack3
+    # attention layouts; see NOTES r5 and probe_{variants,attnpack}.)
     backend: str = struct.field(pytree_node=False, default="auto")
     interpret: bool = struct.field(pytree_node=False, default=False)
 
@@ -118,52 +112,6 @@ def _resolve_backend(cfg: RenderConfig) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "reference"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _gather_rows_sortvjp(packed, gidx, n):
-    """rows = packed[min(gidx, n-1)], rows with gidx >= n zeroed — same
-    forward as the plain masked gather, but the VJP reduces per-instance
-    cotangents to per-gaussian gradients by a BACKWARD-ONLY sort instead
-    of XLA's scatter-add (measured ~7 ms of the 23.9 ms fwd+bwd render at
-    1024^2/100k, r5 probe_cut). The r4 emission-order reduction lost
-    end-to-end because it charged ~3 ms of inverse-permutation work to
-    the FORWARD binning (probe_vjpcut); here the forward is untouched —
-    the backward argsorts gidx itself (0.35 ms 2-operand kv-sort),
-    u16-gathers the cotangent rows into gaussian-contiguous order, and
-    segment-reduces by cumsum difference. Accuracy: f32 prefix sums over
-    ~450k unit-scale rows — same bound as the retired emission path
-    (max rel err ~1e-5 observed; tests/test_render_pallas.py)."""
-    gs = jnp.minimum(gidx, n - 1)
-    inst = jnp.take_along_axis(packed, gs[:, None], axis=0)
-    return jnp.where((gidx < n)[:, None], inst, 0.0)
-
-
-def _gather_rows_sortvjp_fwd(packed, gidx, n):
-    return _gather_rows_sortvjp(packed, gidx, n), gidx
-
-
-def _gather_rows_sortvjp_bwd(n, gidx, dinst):
-    e, c = dinst.shape
-    # dead rows (gidx == n) sort to the tail and are dropped by the
-    # boundary gather below (segment n is past the n-1 boundary)
-    order0 = jnp.arange(e, dtype=jnp.int32)
-    gid_s, order = jax.lax.sort((gidx, order0), num_keys=1, is_stable=False)
-    d16 = jax.lax.bitcast_convert_type(dinst, jnp.uint16).reshape(e, -1)
-    ds = jnp.take_along_axis(d16, order[:, None], axis=0)
-    ds = jax.lax.bitcast_convert_type(ds.reshape(e, c, 2), jnp.float32)
-    ds = jnp.where((gid_s < n)[:, None], ds, 0.0)
-    csum = jnp.cumsum(ds, axis=0, dtype=jnp.float32)
-    # bounds[g] = first sorted row of gaussian g; dpacked[g] =
-    # csum[bounds[g+1]-1] - csum[bounds[g]-1] (exclusive prefix diff)
-    bounds = jnp.searchsorted(gid_s, jnp.arange(n + 1, dtype=jnp.int32),
-                              side="left").astype(jnp.int32)
-    z = jnp.zeros((1, c), jnp.float32)
-    cpad = jnp.concatenate([z, csum], axis=0)  # cpad[i] = sum of rows < i
-    dpacked = (jnp.take_along_axis(cpad, bounds[1:, None], axis=0)
-               - jnp.take_along_axis(cpad, bounds[:-1, None], axis=0))
-    return dpacked, None
-
-
-_gather_rows_sortvjp.defvjp(_gather_rows_sortvjp_fwd, _gather_rows_sortvjp_bwd)
 
 
 def _auto_pool(n: int, chunk: int, h: int, w: int, inline: int = 1,
@@ -281,19 +229,13 @@ def render(
         axis=-1,
     )  # [B, N, 10]
     # unrolled per camera (like the binning above): the batched gather
-    # AND its VJP lower faster without the batch dim
-    if cfg.gather_vjp == "sort":
-        inst = jnp.stack([
-            _gather_rows_sortvjp(packed[i], binning.gidx[i], n)
-            for i in range(b)
-        ])
-    else:
-        gidx_safe = jnp.minimum(binning.gidx, n - 1)
-        inst = jnp.stack([
-            jnp.take_along_axis(packed[i], gidx_safe[i][:, None], axis=0)
-            for i in range(b)
-        ])
-        inst = jnp.where((binning.gidx < n)[..., None], inst, 0.0)
+    # AND its scatter-add VJP lower faster without the batch dim
+    gidx_safe = jnp.minimum(binning.gidx, n - 1)
+    inst = jnp.stack([
+        jnp.take_along_axis(packed[i], gidx_safe[i][:, None], axis=0)
+        for i in range(b)
+    ])
+    inst = jnp.where((binning.gidx < n)[..., None], inst, 0.0)
     rv = (binning.gidx < n)[..., None]
 
     tile_safe = jnp.minimum(binning.tile_of, ntx * nty - 1)
@@ -339,7 +281,7 @@ def render(
         data = jnp.pad(data, ((0, 0), (0, 0), (0, epad - e)))
     out = composite_tiles(
         data, binning.starts, binning.counts, tile, cfg.chunk, cfg.interpret,
-        cfg.tri, cfg.tpb,
+        cfg.tri,
     )
     rgb, depth, alpha = tiles_to_image(out, nty, ntx, tile, h, w)
     bgc = jnp.asarray(bg_color, jnp.float32)

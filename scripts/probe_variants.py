@@ -48,8 +48,7 @@ K = 3
 
 VARIANTS = {
     "base": dict(),            # production defaults (u16 gather)
-    "sortvjp": dict(gather_vjp="sort"),
-    "t16": dict(tpb=16),
+    "i32": dict(table_gather="i32"),
 }
 
 

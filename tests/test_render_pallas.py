@@ -280,36 +280,3 @@ def test_tile_cull_output_preserving(rng):
         d_off = np.abs(a - r).max()
         d_on = np.abs(b - r).max()
         assert d_on <= d_off * 1.5 + 1e-4, (f, d_on, d_off)
-
-
-def test_gather_vjp_sort_matches_scatter(rng):
-    # the backward-only sort reduction must reproduce the scatter-add
-    # VJP's per-gaussian gradients (not bitwise: cumsum-difference
-    # reassociates the per-instance sums)
-    state = make_scene(rng)
-    cams = make_cameras(2, 40, 56)
-    bg = jnp.array([0.1, 0.2, 0.3])
-    base = dict(backend="pallas", interpret=True, tile=16, chunk=128,
-                d_max=16)
-
-    a = render(state, cams, bg, RenderConfig(**base))
-    b = render(state, cams, bg, RenderConfig(**base, gather_vjp="sort"))
-    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
-
-    def loss(st, off, gv):
-        out = render(st, cams, bg, RenderConfig(**base, gather_vjp=gv),
-                     mean2d_offset=off)
-        return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha) + \
-            0.1 * jnp.sum(out.depth)
-
-    off = jnp.zeros((2, state.capacity, 2))
-    ga = jax.grad(loss, argnums=(0, 1), allow_int=True)(state, off, "scatter")
-    gb = jax.grad(loss, argnums=(0, 1), allow_int=True)(state, off, "sort")
-    for f in ("xyz", "f_dc", "scaling", "rotation", "opacity"):
-        x = np.asarray(getattr(ga[0], f))
-        y = np.asarray(getattr(gb[0], f))
-        tol = max(1e-3 * np.abs(x).max(), 5e-5)
-        assert np.abs(x - y).max() < tol, \
-            f"sort-vjp grad mismatch: {f} ({np.abs(x - y).max():.3e})"
-    x, y = np.asarray(ga[1]), np.asarray(gb[1])
-    assert np.abs(x - y).max() < max(1e-3 * np.abs(x).max(), 5e-5)
