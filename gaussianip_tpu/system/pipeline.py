@@ -84,10 +84,14 @@ def load_real_models(cfg_guidance: dict, dtype=jnp.bfloat16) -> GuidanceModels:
     cn_params = W.convert_controlnet(csd)
 
     # commit params to the accelerator EXPLICITLY: numpy/CPU-committed trees
-    # passed to jitted fns get re-shipped host->device on every call
+    # passed to jitted fns get re-shipped host->device on every call.
+    # Params stay f32 (compute runs at `dtype`=bf16): bf16-cast params
+    # MEASURED ~25 ms/step SLOWER on the stage-1 step (r5: 444.8/448.1
+    # f32 vs 467.2/471.2 bf16) and f32 fits HBM in every stage next to
+    # the refine's capped attention budget (scripts/probe_refinemem.py)
     dev = jax.devices()[0]
     cast = lambda t: jax.tree_util.tree_map(
-        lambda a: jax.device_put(jnp.asarray(a, dtype), dev), t)
+        lambda a: jax.device_put(jnp.asarray(a, jnp.float32), dev), t)
     return GuidanceModels(unet, cast(unet_params), cn, cast(cn_params),
                           vae, cast(vae_params))
 

@@ -74,12 +74,12 @@ def main():
     ctx0 = jnp.zeros((1, 81, 768), jnp.bfloat16)
     cimg0 = jnp.zeros((1, 64, 64, 3), jnp.bfloat16)
     mk = lambda tree: jax.tree_util.tree_map(
-        # bf16 float params: production load_real_models casts every float
-        # leaf to the compute dtype (pipeline.py), halving resident weights
-        # vs the f32 flax init the driver-facing f32 trees overstated
-        lambda sd: jnp.zeros(sd.shape, jnp.bfloat16
-                             if jnp.issubdtype(sd.dtype, jnp.floating)
-                             else sd.dtype), tree)
+        # f32 frozen params (the flax init default): bf16 params MEASURED ~25
+        # ms/step SLOWER on the stage-1 step (444.8/448.1 f32 vs 467.2/471.2
+        # bf16, r5) and f32 fits HBM in every stage next to the capped
+        # attention budget (probe_refinemem) — production load_real_models
+        # keeps f32 params for the same reason
+        lambda sd: jnp.zeros(sd.shape, sd.dtype), tree)
     up = jax.device_put(mk(jax.eval_shape(unet.init, key, lat0, t0_, ctx0)),
                         dev)
     cp = jax.device_put(mk(jax.eval_shape(cn.init, key, lat0, t0_,
