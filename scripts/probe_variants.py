@@ -47,8 +47,10 @@ bg = jnp.zeros(3)
 K = 3
 
 VARIANTS = {
-    "base": dict(),            # production defaults (u16 gather)
-    "i32": dict(table_gather="i32"),
+    "base": dict(),            # production defaults (u16 gather, chunk 128)
+    "c64": dict(chunk=64),     # less window-rounding waste (~20% fewer
+    #                            padded rows), 2x chunk iterations
+    "c256": dict(chunk=256),   # fewer iterations, 2x tri-matmul FLOPs
 }
 
 
