@@ -48,9 +48,8 @@ K = 3
 
 VARIANTS = {
     "base": dict(),            # production defaults (u16 gather, chunk 128)
-    "c64": dict(chunk=64),     # less window-rounding waste (~20% fewer
-    #                            padded rows), 2x chunk iterations
-    "c256": dict(chunk=256),   # fewer iterations, 2x tri-matmul FLOPs
+    # chunk A/B CLOSED (NOTES r5): 64 fails Mosaic (lane slices must be
+    # 128-aligned); 256 measured 23.84 vs 22.47 ms fwd+bwd — 128 stays.
 }
 
 
